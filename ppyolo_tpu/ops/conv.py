@@ -1,0 +1,265 @@
+"""ConvNormAct — the universal conv(+DCN) + norm + activation cell.
+
+TPU-native equivalent of the reference ``Conv2dUnit``
+(model/custom_layers.py:65-253): one cell used by every backbone/head layer,
+carrying the per-parameter optimizer policy (lr multipliers, no-decay rule
+for norm params and conv biases — custom_layers.py:167-241) and the freeze
+flag (custom_layers.py:142-165) as a static policy tree instead of
+``requires_grad`` mutation.
+
+Layout: NHWC activations, HWIO weights.  Norms: bn / sync_bn (real psum
+cross-replica sync — the reference silently aliases sync_bn to bn,
+custom_layers.py:26-29) / gn / affine_channel (custom_layers.py:46-62).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .module import Ctx, Module, ParamPolicy
+from .deform_conv import deform_conv2d
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1  # torch convention: running = (1-m)*running + m*batch
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def apply_act(x, act: Optional[str]):
+    if act is None:
+        return x
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "leaky":
+        return jax.nn.leaky_relu(x, negative_slope=0.1)
+    if act == "mish":
+        return mish(x)
+    raise NotImplementedError(f"Activation '{act}' is not implemented.")
+
+
+def conv2d(x, w, *, stride: int = 1, padding: int = 0, bias=None):
+    """Plain NHWC/HWIO conv with symmetric padding."""
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def batch_norm(x, scale, bias, mean, var, *, train: bool, axis_name=None,
+               eps: float = BN_EPS, momentum: float = BN_MOMENTUM):
+    """BatchNorm over NHWC.  Returns (y, new_mean, new_var).
+
+    Train mode normalizes with (possibly cross-replica) batch statistics and
+    produces torch-convention running-stat updates (unbiased running var).
+    ``axis_name`` set => real sync-BN via psum over the data mesh axis.
+    """
+    if not train:
+        inv = lax.rsqrt(var + eps)
+        y = (x - mean) * inv * scale + bias
+        return y.astype(x.dtype), mean, var
+    x32 = x.astype(jnp.float32)
+    m = jnp.mean(x32, axis=(0, 1, 2))
+    msq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    if axis_name is not None:
+        m = lax.pmean(m, axis_name)
+        msq = lax.pmean(msq, axis_name)
+        n = n * lax.psum(1, axis_name)
+    v = jnp.maximum(msq - jnp.square(m), 0.0)
+    inv = lax.rsqrt(v + eps)
+    y = (x32 - m) * inv * scale + bias
+    unbiased = v * (n / max(n - 1, 1))
+    new_mean = (1 - momentum) * mean + momentum * m
+    new_var = (1 - momentum) * var + momentum * unbiased
+    return y.astype(x.dtype), new_mean, new_var
+
+
+def group_norm(x, scale, bias, *, groups: int = 32, eps: float = BN_EPS):
+    n, h, w, c = x.shape
+    g = x.reshape(n, h, w, groups, c // groups).astype(jnp.float32)
+    m = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    v = jnp.var(g, axis=(1, 2, 4), keepdims=True)
+    g = (g - m) * lax.rsqrt(v + eps)
+    return (g.reshape(n, h, w, c) * scale + bias).astype(x.dtype)
+
+
+class ConvNormAct(Module):
+    """conv (or DCNv2) + {bn|sync_bn|gn|affine_channel|none} + {relu|leaky|mish|none}."""
+
+    def __init__(
+        self,
+        cin: int,
+        cout: int,
+        ksize: int,
+        *,
+        stride: int = 1,
+        bias: bool = False,
+        norm: Optional[str] = None,
+        groups: int = 32,
+        act: Optional[str] = None,
+        use_dcn: bool = False,
+        lr_mult: float = 1.0,
+        bias_lr_mult: Optional[float] = None,
+        freeze_norm: bool = False,
+        name: str = "",
+    ):
+        self.cin, self.cout, self.ksize, self.stride = cin, cout, ksize, stride
+        self.padding = (ksize - 1) // 2
+        self.has_bias = bias
+        assert norm in (None, "bn", "sync_bn", "gn", "affine_channel")
+        self.norm = norm
+        self.groups = groups
+        self.act = act
+        self.use_dcn = use_dcn
+        self.lr_mult = lr_mult
+        self.bias_lr_mult = bias_lr_mult if bias_lr_mult is not None else lr_mult
+        self.freeze_norm = freeze_norm
+        self.name = name
+        self.frozen = False  # set by backbone.freeze()
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(key)
+        fan_in = self.cin * self.ksize * self.ksize
+        p: Dict[str, Any] = {"conv": {}}
+        if self.use_dcn:
+            # offset/mask conv zero-init (reference custom_layers.py:510-511);
+            # dcn weight xavier-normal (custom_layers.py:520-523)
+            p["conv"]["conv_offset"] = {
+                "weight": jnp.zeros(
+                    (self.ksize, self.ksize, self.cin, 3 * self.ksize * self.ksize),
+                    jnp.float32,
+                ),
+                "bias": jnp.zeros((3 * self.ksize * self.ksize,), jnp.float32),
+            }
+            std = (2.0 / (fan_in + self.cout * self.ksize * self.ksize)) ** 0.5
+            p["conv"]["dcn_weight"] = (
+                jax.random.normal(k1, (self.ksize, self.ksize, self.cin, self.cout)) * std
+            )
+        else:
+            std = (2.0 / fan_in) ** 0.5  # kaiming-normal
+            p["conv"]["weight"] = (
+                jax.random.normal(k1, (self.ksize, self.ksize, self.cin, self.cout)) * std
+            )
+            if self.has_bias:
+                p["conv"]["bias"] = jnp.zeros((self.cout,), jnp.float32)
+        if self.norm in ("bn", "sync_bn"):
+            p["bn"] = {
+                "weight": jnp.ones((self.cout,), jnp.float32),
+                "bias": jnp.zeros((self.cout,), jnp.float32),
+                "running_mean": jnp.zeros((self.cout,), jnp.float32),
+                "running_var": jnp.ones((self.cout,), jnp.float32),
+            }
+        elif self.norm == "gn":
+            p["gn"] = {
+                "weight": jnp.ones((self.cout,), jnp.float32),
+                "bias": jnp.zeros((self.cout,), jnp.float32),
+            }
+        elif self.norm == "affine_channel":
+            p["af"] = {
+                "weight": jnp.ones((self.cout,), jnp.float32),
+                "bias": jnp.zeros((self.cout,), jnp.float32),
+            }
+        return p
+
+    # -- apply --------------------------------------------------------------
+    def apply(self, params: Dict[str, Any], x, ctx: Ctx):
+        c = params["conv"]
+        if self.use_dcn:
+            om = conv2d(
+                x,
+                c["conv_offset"]["weight"],
+                stride=self.stride,
+                padding=self.padding,
+                bias=c["conv_offset"]["bias"],
+            )
+            k2 = self.ksize * self.ksize
+            x = deform_conv2d(
+                x,
+                c["dcn_weight"],
+                om[..., : 2 * k2],
+                om[..., 2 * k2 :],
+                stride=self.stride,
+                padding=self.padding,
+                bias=c.get("dcn_bias"),
+            )
+        else:
+            x = conv2d(
+                x,
+                c["weight"],
+                stride=self.stride,
+                padding=self.padding,
+                bias=c.get("bias"),
+            )
+        if self.norm in ("bn", "sync_bn"):
+            bn = params["bn"]
+            axis = ctx.axis_name if self.norm == "sync_bn" else None
+            # fall back to real cross-replica stats for plain bn too when an
+            # axis is provided and the caller requested global sync
+            y, nm, nv = batch_norm(
+                x,
+                bn["weight"],
+                bn["bias"],
+                bn["running_mean"],
+                bn["running_var"],
+                train=ctx.train and not self.frozen,
+                axis_name=axis,
+            )
+            if ctx.train and not self.frozen and ctx.updates is not None:
+                ctx.updates[f"{self.name}.bn.running_mean"] = nm
+                ctx.updates[f"{self.name}.bn.running_var"] = nv
+            x = y
+        elif self.norm == "gn":
+            x = group_norm(x, params["gn"]["weight"], params["gn"]["bias"], groups=self.groups)
+        elif self.norm == "affine_channel":
+            x = x * params["af"]["weight"] + params["af"]["bias"]
+        return apply_act(x, self.act)
+
+    # -- optimizer policy ---------------------------------------------------
+    def param_policy(self) -> Dict[str, Any]:
+        t = not self.frozen
+        pol: Dict[str, Any] = {"conv": {}}
+        if self.use_dcn:
+            # offset conv weight+bias and dcn weight all get weight decay
+            # (reference custom_layers.py:182-200)
+            pol["conv"]["conv_offset"] = {
+                "weight": ParamPolicy(self.lr_mult, 1.0, t),
+                "bias": ParamPolicy(self.lr_mult, 1.0, t),
+            }
+            pol["conv"]["dcn_weight"] = ParamPolicy(self.lr_mult, 1.0, t)
+        else:
+            pol["conv"]["weight"] = ParamPolicy(self.lr_mult, 1.0, t)
+            if self.has_bias:
+                # conv bias: own lr mult, never decayed (custom_layers.py:175-181)
+                pol["conv"]["bias"] = ParamPolicy(self.bias_lr_mult, 0.0, t)
+        tn = t and not self.freeze_norm
+        if self.norm in ("bn", "sync_bn"):
+            pol["bn"] = {
+                "weight": ParamPolicy(self.lr_mult, 0.0, tn),
+                "bias": ParamPolicy(self.lr_mult, 0.0, tn),
+                "running_mean": ParamPolicy(0.0, 0.0, False),
+                "running_var": ParamPolicy(0.0, 0.0, False),
+            }
+        elif self.norm == "gn":
+            pol["gn"] = {
+                "weight": ParamPolicy(self.lr_mult, 0.0, tn),
+                "bias": ParamPolicy(self.lr_mult, 0.0, tn),
+            }
+        elif self.norm == "affine_channel":
+            pol["af"] = {
+                "weight": ParamPolicy(self.lr_mult, 0.0, tn),
+                "bias": ParamPolicy(self.lr_mult, 0.0, tn),
+            }
+        return pol

@@ -1,0 +1,91 @@
+"""Batched, static-shape Matrix-NMS fully on device.
+
+The reference (model/matrix_nms.py, driven per-image from a Python loop at
+head.py:461-464) boolean-filters by score then sorts — dynamic shapes XLA
+cannot compile.  This implementation keeps the exact decay math but uses
+top-k + masking so the whole batch is one fused XLA program with a fixed
+[B, keep_top_k, 6] output ([-1]-sentinel rows for empty slots, matching
+matrix_nms.py:113,134,147-150).
+
+Padding-exactness argument: sorted candidates put all valid entries first;
+invalid rows/cols are excluded from the same-class matrix, so their decay
+ratio is 1, and since the reference's per-column min is always <= 1 (row 0
+has zero compensate-IoU), padding never changes the minimum.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .iou import pairwise_iou
+
+
+def _matrix_nms_single(
+    boxes,            # [A, 4]
+    scores,           # [A, C]
+    *,
+    score_threshold: float,
+    post_threshold: float,
+    nms_top_k: int,
+    keep_top_k: int,
+    use_gaussian: bool,
+    gaussian_sigma: float,
+):
+    a, c = scores.shape
+    flat = scores.reshape(a * c)
+    masked = jnp.where(flat > score_threshold, flat, 0.0)
+    k = min(nms_top_k, a * c)
+    vals, idx = lax.top_k(masked, k)                       # descending
+    valid = vals > score_threshold
+    labels = idx % c
+    box_idx = idx // c
+    cand = boxes[box_idx]                                  # [k, 4]
+
+    iou = pairwise_iou(cand, cand, eps=1e-9)
+    tri = jnp.triu(jnp.ones((k, k), bool), 1)
+    same = (labels[:, None] == labels[None, :]) & valid[:, None] & valid[None, :]
+    decay_iou = jnp.where(tri & same, iou, 0.0)            # [k, k]
+    comp = jnp.max(decay_iou, axis=0)                      # per-column j: max over i<j
+    comp_m = comp[:, None]                                 # compensate_matrix[i][j] = comp[i]
+    if use_gaussian:
+        ratio = jnp.exp(-gaussian_sigma * (decay_iou ** 2 - comp_m ** 2))
+    else:
+        ratio = (1.0 - decay_iou) / (1.0 - comp_m)
+    decay = jnp.min(ratio, axis=0)                         # [k]
+    new_scores = vals * decay
+
+    keep = (new_scores >= post_threshold) & valid
+    final = jnp.where(keep, new_scores, -1.0)
+    kk = min(keep_top_k, k)
+    out_vals, out_idx = lax.top_k(final, kk)
+    out_keep = out_vals > 0.0
+    out_boxes = jnp.where(out_keep[:, None], cand[out_idx], -1.0)
+    out_labels = jnp.where(out_keep, labels[out_idx].astype(jnp.float32), -1.0)
+    out_scores = jnp.where(out_keep, out_vals, -1.0)
+    return jnp.concatenate(
+        [out_labels[:, None], out_scores[:, None], out_boxes], axis=-1
+    )                                                      # [keep_top_k, 6]
+
+
+def matrix_nms(boxes, scores, nms_cfg: Dict[str, Any]):
+    """Batched Matrix-NMS.
+
+    boxes:  [B, A, 4] xyxy image-space; scores: [B, A, C].
+    nms_cfg: the reference nms_cfg dict (config/ppyolo_2x.py:143-151).
+    Returns [B, keep_top_k, 6] rows of (label, score, x0, y0, x1, y1),
+    -1 rows for empty slots.
+    """
+    fn = functools.partial(
+        _matrix_nms_single,
+        score_threshold=float(nms_cfg["score_threshold"]),
+        post_threshold=float(nms_cfg["post_threshold"]),
+        nms_top_k=int(nms_cfg["nms_top_k"]),
+        keep_top_k=int(nms_cfg["keep_top_k"]),
+        use_gaussian=bool(nms_cfg.get("use_gaussian", False)),
+        gaussian_sigma=float(nms_cfg.get("gaussian_sigma", 2.0)),
+    )
+    return jax.vmap(fn)(boxes, scores)

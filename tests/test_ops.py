@@ -1,0 +1,279 @@
+"""Op-level golden tests against independent numpy oracles.
+
+Mirrors the reference's de-facto test strategy (SURVEY.md §4): numerical
+parity of each op against a straightforward re-statement of the math.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppyolo_tpu.ops import (
+    ConvNormAct, Ctx, conv2d, coord_conv, spp, drop_block,
+    max_pool2d, avg_pool2d, upsample_nearest_2x, deform_conv2d,
+    yolo_box, iou_aware_score, de_sigmoid, matrix_nms, pairwise_iou,
+)
+
+rng = np.random.RandomState(0)
+
+
+def test_conv2d_matches_numpy():
+    x = rng.randn(2, 5, 7, 3).astype(np.float32)
+    w = rng.randn(3, 3, 3, 4).astype(np.float32)
+    y = np.asarray(conv2d(jnp.array(x), jnp.array(w), stride=1, padding=1))
+    # naive conv oracle
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = np.zeros((2, 5, 7, 4), np.float32)
+    for i in range(5):
+        for j in range(7):
+            patch = xp[:, i:i + 3, j:j + 3, :]            # [N,3,3,C]
+            ref[:, i, j, :] = np.tensordot(patch, w, axes=([1, 2, 3], [0, 1, 2]))
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_coord_conv_ranges():
+    x = jnp.zeros((2, 4, 6, 3))
+    y = coord_conv(x)
+    assert y.shape == (2, 4, 6, 5)
+    np.testing.assert_allclose(y[0, 0, :, 3], np.linspace(-1, 1, 6), atol=1e-6)
+    np.testing.assert_allclose(y[0, :, 0, 4], np.linspace(-1, 1, 4), atol=1e-6)
+
+
+def test_spp_shapes_and_values():
+    x = jnp.array(rng.randn(1, 8, 8, 2).astype(np.float32))
+    y = spp(x)
+    assert y.shape == (1, 8, 8, 8)
+    np.testing.assert_allclose(y[..., :2], x)
+    # mp5 at center equals max over 5x5 window
+    v = np.asarray(x[0, 1:6, 1:6, 0]).max()
+    assert np.isclose(np.asarray(y)[0, 3, 3, 2], v)
+
+
+def test_pooling_upsample():
+    x = jnp.array(rng.randn(1, 4, 4, 2).astype(np.float32))
+    mp = max_pool2d(x, 3, 2, 1)
+    assert mp.shape == (1, 2, 2, 2)
+    ap = avg_pool2d(x, 2, 2)
+    np.testing.assert_allclose(
+        np.asarray(ap)[0, 0, 0, 0], np.asarray(x)[0, :2, :2, 0].mean(), rtol=1e-6
+    )
+    up = upsample_nearest_2x(x)
+    assert up.shape == (1, 8, 8, 2)
+    np.testing.assert_allclose(np.asarray(up)[0, :2, :2, 0], np.asarray(x)[0, 0, 0, 0])
+
+
+def test_dropblock_statistics():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 16, 16, 8))
+    y = drop_block(x, key, block_size=3, keep_prob=0.9)
+    y = np.asarray(y)
+    assert ((y == 0).sum()) > 0
+    # renormalization preserves the mean of kept mask exactly for constant input
+    np.testing.assert_allclose(y.mean(), 1.0, rtol=1e-5)
+    # test mode: identity
+    np.testing.assert_allclose(
+        np.asarray(drop_block(x, key, is_test=True)), np.asarray(x)
+    )
+
+
+def test_deform_conv_zero_offset_equals_conv():
+    """DCN with zero offset/mask-logit==0 (sigmoid=0.5) equals 0.5*conv
+    (reference external/DCNv2/test.py check_zero_offset, SURVEY.md §4)."""
+    x = jnp.array(rng.randn(2, 9, 9, 4).astype(np.float32))
+    w = jnp.array(rng.randn(3, 3, 4, 6).astype(np.float32))
+    off = jnp.zeros((2, 9, 9, 18))
+    msk = jnp.zeros((2, 9, 9, 9))
+    y = deform_conv2d(x, w, off, msk, stride=1, padding=1)
+    ref = 0.5 * conv2d(x, w, stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_stride2():
+    x = jnp.array(rng.randn(1, 8, 8, 3).astype(np.float32))
+    w = jnp.array(rng.randn(3, 3, 3, 5).astype(np.float32))
+    off = jnp.zeros((1, 4, 4, 18))
+    msk = jnp.full((1, 4, 4, 9), 80.0)  # sigmoid ~ 1
+    y = deform_conv2d(x, w, off, msk, stride=2, padding=1)
+    ref = conv2d(x, w, stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_deform_conv_integer_offset_shift():
+    """An integer offset of (0, +1) for every tap shifts sampling one pixel
+    right: equals conv on the left-shifted image (interior columns)."""
+    x = rng.randn(1, 7, 7, 2).astype(np.float32)
+    w = rng.randn(3, 3, 2, 4).astype(np.float32)
+    off = np.zeros((1, 7, 7, 18), np.float32)
+    off[..., 1::2] = 1.0  # x-offsets
+    msk = np.full((1, 7, 7, 9), 80.0, np.float32)
+    y = np.asarray(deform_conv2d(jnp.array(x), jnp.array(w), jnp.array(off), jnp.array(msk), padding=1))
+    xs = np.roll(x, -1, axis=2)  # shift left
+    ref = np.asarray(conv2d(jnp.array(xs), jnp.array(w), stride=1, padding=1))
+    np.testing.assert_allclose(y[:, 1:-1, 1:-2], ref[:, 1:-1, 1:-2], rtol=1e-3, atol=1e-3)
+
+
+def test_deform_conv_grads_exist():
+    x = jnp.array(rng.randn(1, 5, 5, 2).astype(np.float32))
+    w = jnp.array(rng.randn(3, 3, 2, 3).astype(np.float32))
+    off = jnp.array(0.1 * rng.randn(1, 5, 5, 18).astype(np.float32))
+    msk = jnp.array(rng.randn(1, 5, 5, 9).astype(np.float32))
+
+    def f(x, w, off, msk):
+        return jnp.sum(deform_conv2d(x, w, off, msk, padding=1) ** 2)
+
+    grads = jax.grad(f, argnums=(0, 1, 2, 3))(x, w, off, msk)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+def _numpy_yolo_box(out_nhwc, anchors, stride, num_classes, scale_x_y, im_size, clip):
+    """Independent numpy oracle of head.py:21-80 decode."""
+    n, s, _, _ = out_nhwc.shape
+    an = len(anchors)
+    o = out_nhwc.reshape(n, s, s, an, 5 + num_classes)
+
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    gx, gy = np.meshgrid(np.arange(s), np.arange(s))  # gx varies along W
+    px = (scale_x_y * sig(o[..., 0]) + gx[None, :, :, None] - (scale_x_y - 1) / 2) * stride
+    py = (scale_x_y * sig(o[..., 1]) + gy[None, :, :, None] - (scale_x_y - 1) / 2) * stride
+    pw = np.exp(o[..., 2]) * np.array(anchors)[:, 0]
+    ph = np.exp(o[..., 3]) * np.array(anchors)[:, 1]
+    x0, x1 = px - pw / 2, px + pw / 2
+    y0, y1 = py - ph / 2, py + ph / 2
+    scores = sig(o[..., 4:5]) * sig(o[..., 5:])
+    boxes = np.stack([x0, y0, x1, y1], -1).reshape(n, -1, 4)
+    scores = scores.reshape(n, -1, num_classes)
+    net = s * stride
+    for b in range(n):
+        h_, w_ = im_size[b]
+        boxes[b, :, 0::2] *= w_ / net
+        boxes[b, :, 1::2] *= h_ / net
+        if clip:
+            boxes[b, :, 0] = boxes[b, :, 0].clip(0, None)
+            boxes[b, :, 1] = boxes[b, :, 1].clip(0, None)
+            boxes[b, :, 2] = boxes[b, :, 2].clip(None, w_)
+            boxes[b, :, 3] = boxes[b, :, 3].clip(None, h_)
+    return boxes, scores
+
+
+def test_yolo_box_matches_oracle():
+    anchors = np.array([[116, 90], [156, 198], [373, 326]], np.float32)
+    out = rng.randn(2, 5, 5, 3 * 85).astype(np.float32)
+    im_size = np.array([[480, 640], [320, 320]], np.float32)
+    b, s = yolo_box(jnp.array(out), jnp.array(anchors), 32, 80, 1.05, jnp.array(im_size), True)
+    rb, rs = _numpy_yolo_box(out, anchors, 32, 80, 1.05, im_size, True)
+    np.testing.assert_allclose(np.asarray(b), rb, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s), rs, rtol=1e-4, atol=1e-5)
+
+
+def test_de_sigmoid_inverts():
+    p = jnp.array([0.01, 0.3, 0.9, 0.999])
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(de_sigmoid(p))), np.asarray(p), rtol=1e-5
+    )
+
+
+def test_iou_aware_score():
+    an, c = 3, 4
+    out = rng.randn(1, 3, 3, an + an * (5 + c)).astype(np.float32)
+    y = np.asarray(iou_aware_score(jnp.array(out), an, c, 0.4))
+    assert y.shape == (1, 3, 3, an * (5 + c))
+
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    rest = out[..., an:].reshape(1, 3, 3, an, 5 + c)
+    ioup = sig(out[..., :an])
+    obj = sig(rest[..., 4])
+    fused = sig(y.reshape(1, 3, 3, an, 5 + c)[..., 4])
+    np.testing.assert_allclose(fused, obj ** 0.6 * ioup ** 0.4, rtol=1e-4)
+
+
+def _numpy_matrix_nms(boxes, scores, cfg):
+    """Oracle: dynamic-shape numpy restatement of matrix_nms.py:51-151."""
+    flat = scores.flatten()
+    c = scores.shape[1]
+    keep = flat > cfg["score_threshold"]
+    if keep.sum() == 0:
+        return np.zeros((0, 6), np.float32)
+    idx = np.nonzero(keep)[0]
+    vals = flat[idx]
+    labels = idx % c
+    bx = boxes[idx // c]
+    order = np.argsort(-vals, kind="stable")[: cfg["nms_top_k"]]
+    vals, labels, bx = vals[order], labels[order], bx[order]
+    n = len(vals)
+    iou = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for j in range(n):
+            xa = max(bx[i, 0], bx[j, 0]); ya = max(bx[i, 1], bx[j, 1])
+            xb = min(bx[i, 2], bx[j, 2]); yb = min(bx[i, 3], bx[j, 3])
+            inter = max(xb - xa, 0) * max(yb - ya, 0)
+            ai = (bx[i, 2] - bx[i, 0]) * (bx[i, 3] - bx[i, 1])
+            aj = (bx[j, 2] - bx[j, 0]) * (bx[j, 3] - bx[j, 1])
+            iou[i, j] = inter / (ai + aj - inter + 1e-12)
+    tri = np.triu(np.ones((n, n), bool), 1)
+    same = labels[:, None] == labels[None, :]
+    d = np.where(tri & same, iou, 0)
+    comp = d.max(0)
+    if cfg.get("use_gaussian"):
+        ratio = np.exp(-cfg["gaussian_sigma"] * (d ** 2 - comp[:, None] ** 2))
+    else:
+        ratio = (1 - d) / (1 - comp[:, None])
+    decay = ratio.min(0)
+    new = vals * decay
+    m = new >= cfg["post_threshold"]
+    if m.sum() == 0:
+        return np.zeros((0, 6), np.float32)
+    new, labels, bx = new[m], labels[m], bx[m]
+    order = np.argsort(-new, kind="stable")[: cfg["keep_top_k"]]
+    return np.concatenate(
+        [labels[order, None].astype(np.float32), new[order, None], bx[order]], 1
+    )
+
+
+def test_matrix_nms_matches_oracle():
+    cfg = dict(score_threshold=0.1, post_threshold=0.1, nms_top_k=16,
+               keep_top_k=8, use_gaussian=False, gaussian_sigma=2.0)
+    boxes = np.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30], [21, 21, 31, 31],
+         [50, 50, 60, 60]], np.float32)
+    scores = np.zeros((5, 3), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 0] = 0.8   # suppressed-ish by 0
+    scores[2, 1] = 0.7
+    scores[3, 1] = 0.6
+    scores[4, 2] = 0.5
+    scores[4, 0] = 0.3   # second class on same box
+    out = np.asarray(matrix_nms(jnp.array(boxes[None]), jnp.array(scores[None]),
+                                dict(cfg, nms_type="matrix_nms")))[0]
+    ref = _numpy_matrix_nms(boxes, scores, cfg)
+    got = out[out[:, 0] >= 0]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_matrix_nms_gaussian_and_empty():
+    cfg = dict(score_threshold=0.5, post_threshold=0.5, nms_top_k=8,
+               keep_top_k=4, use_gaussian=True, gaussian_sigma=2.0,
+               nms_type="matrix_nms")
+    boxes = jnp.zeros((1, 6, 4))
+    scores = jnp.full((1, 6, 2), 0.01)
+    out = np.asarray(matrix_nms(boxes, scores, cfg))[0]
+    assert (out == -1).all()
+
+
+def test_conv_norm_act_cell():
+    cell = ConvNormAct(3, 8, 3, stride=2, norm="bn", act="leaky", name="c")
+    params = cell.init(jax.random.PRNGKey(0))
+    x = jnp.array(rng.randn(2, 8, 8, 3).astype(np.float32))
+    y = cell.apply(params, x, Ctx(train=False))
+    assert y.shape == (2, 4, 4, 8)
+    # train mode records running-stat updates
+    upd = {}
+    y2 = cell.apply(params, x, Ctx(train=True, updates=upd))
+    assert "c.bn.running_mean" in upd and "c.bn.running_var" in upd
+    assert np.isfinite(np.asarray(y2)).all()
