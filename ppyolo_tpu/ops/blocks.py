@@ -76,7 +76,7 @@ def drop_block(x, rng: jax.Array, *, block_size: int = 3, keep_prob: float = 0.9
         return x
     n, h, w, c = x.shape
     feat_area = float(h) ** 2
-    useful = float(h - block_size + 1) ** 2
+    useful = float(max(h - block_size + 1, 1)) ** 2  # guard tiny test grids
     gamma = feat_area * (1.0 - keep_prob) / (block_size * block_size * useful)
     seeds = (jax.random.uniform(rng, x.shape) < gamma).astype(x.dtype)
     dil = max_pool2d(seeds, block_size, 1, 1)

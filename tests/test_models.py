@@ -1,0 +1,99 @@
+"""Model-graph tests: forward shapes, prediction pipeline, param naming."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppyolo_tpu.models import PPYOLO
+from ppyolo_tpu.ops.module import Ctx, flatten_tree
+from configs import PPYOLO_2x_Config, PPYOLO_r18vd_Config
+
+
+def build(cfg_cls):
+    cfg = cfg_cls()
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def test_r18vd_forward_shapes():
+    cfg, model, params = build(PPYOLO_r18vd_Config)
+    x = jnp.zeros((1, 128, 128, 3))
+    outs = model.outputs(params, x, Ctx(train=False))
+    # 2 levels: stride 32 then 16; channels an*(5+80)=255
+    assert outs[0].shape == (1, 4, 4, 255)
+    assert outs[1].shape == (1, 8, 8, 255)
+
+
+def test_r50vd_forward_shapes():
+    cfg, model, params = build(PPYOLO_2x_Config)
+    x = jnp.zeros((1, 128, 128, 3))
+    outs = model.outputs(params, x, Ctx(train=False))
+    # 3 levels with iou_aware: an*(6+80)=258 channels
+    assert outs[0].shape == (1, 4, 4, 258)
+    assert outs[1].shape == (1, 8, 8, 258)
+    assert outs[2].shape == (1, 16, 16, 258)
+
+
+def test_r50vd_predict_end_to_end():
+    cfg, model, params = build(PPYOLO_2x_Config)
+    x = jnp.array(np.random.RandomState(0).randn(2, 128, 128, 3), jnp.float32)
+    im_size = jnp.array([[480, 640], [333, 500]], jnp.float32)
+    preds = model.predict(params, x, im_size)
+    assert preds.shape == (2, 100, 6)
+    p = np.asarray(preds)
+    valid = p[p[:, :, 0] >= 0]
+    if len(valid):
+        assert (valid[:, 1] > 0).all()
+
+
+def test_param_paths_match_reference_names():
+    _, model, params = build(PPYOLO_2x_Config)
+    flat = flatten_tree(params)
+    # spot-check key reference state_dict paths (1_ppyolo_2x_2pytorch.py contract)
+    expected = [
+        "backbone.stage1_conv1_1.conv.weight",
+        "backbone.stage1_conv1_1.bn.running_mean",
+        "backbone.stage2_0.conv4.conv.weight",
+        "backbone.stage5_0.conv2.conv.dcn_weight",            # DCN stage
+        "backbone.stage5_0.conv2.conv.conv_offset.weight",
+        "head.detection_blocks.0.layers.1.conv.weight",       # after coordconv idx0
+        "head.detection_blocks.0.layers.4.conv.weight",       # spp conv
+        "head.detection_blocks.0.tip_layers.1.conv.weight",
+        "head.yolo_output_convs.0.conv.weight",
+        "head.yolo_output_convs.0.conv.bias",
+        "head.upsample_layers.0.conv.weight",
+        "head.upsample_layers.2.conv.weight",
+    ]
+    for path in expected:
+        assert path in flat, f"missing {path}"
+    # DCN offset conv zero-init (reference custom_layers.py:510-511)
+    assert np.abs(np.asarray(flat["backbone.stage5_0.conv2.conv.conv_offset.weight"])).max() == 0
+
+
+def test_policy_matches_params():
+    _, model, params = build(PPYOLO_r18vd_Config)
+    pf = flatten_tree(params)
+    pol = model.flat_policy()
+    assert set(pf) == set(pol)
+    # freeze_at=5 -> whole backbone untrainable (train.py:264, resnet_vd.py:174-199)
+    assert not pol["backbone.stage5_1.conv2.conv.weight"].trainable
+    assert pol["head.yolo_output_convs.0.conv.weight"].trainable
+    # norm params never decayed; conv weights decayed
+    # (r18vd conv_block_num=0: layers = [drop, coord, conv] for the first
+    # block, so the conv sits at ModuleList index 2 — reference head.py:202-215)
+    assert pol["head.detection_blocks.0.layers.2.bn.weight"].wd_mult == 0.0
+    assert pol["head.detection_blocks.0.layers.2.conv.weight"].wd_mult == 1.0
+
+
+def test_dropblock_active_in_train_mode():
+    cfg, model, params = build(PPYOLO_r18vd_Config)
+    x = jnp.array(np.random.RandomState(1).rand(1, 128, 128, 3), jnp.float32)
+    ctx_a = Ctx(train=True, rng=jax.random.PRNGKey(1), updates={})
+    ctx_b = Ctx(train=True, rng=jax.random.PRNGKey(2), updates={})
+    oa = model.outputs(params, x, ctx_a)
+    ob = model.outputs(params, x, ctx_b)
+    assert not np.allclose(np.asarray(oa[0]), np.asarray(ob[0]))
+    # bn updates recorded for trainable (non-frozen) convs only
+    assert len(ctx_a.updates) > 0
+    assert all(k.startswith("head.") for k in ctx_a.updates)  # backbone frozen
