@@ -208,16 +208,20 @@ class ConvNormAct(Module):
             axis = ctx.axis_name if self.norm == "sync_bn" else None
             # fall back to real cross-replica stats for plain bn too when an
             # axis is provided and the caller requested global sync
+            # NOTE: freezing stops gradients only — BN stays in batch-stats
+            # mode and keeps updating running stats, matching the reference
+            # (freeze() flips requires_grad, not module mode;
+            # custom_layers.py:142-165).  freeze_norm gates the affine params.
             y, nm, nv = batch_norm(
                 x,
                 bn["weight"],
                 bn["bias"],
                 bn["running_mean"],
                 bn["running_var"],
-                train=ctx.train and not self.frozen,
+                train=ctx.train,
                 axis_name=axis,
             )
-            if ctx.train and not self.frozen and ctx.updates is not None:
+            if ctx.train and ctx.updates is not None:
                 ctx.updates[f"{self.name}.bn.running_mean"] = nm
                 ctx.updates[f"{self.name}.bn.running_var"] = nv
             x = y

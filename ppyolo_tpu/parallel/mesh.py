@@ -1,0 +1,66 @@
+"""Device-mesh utilities: data-parallel (+ optional model-replica) sharding
+for PP-YOLO training and inference.
+
+The reference has no distributed support of any kind (README.md:84-86 lists
+multi-card training as unimplemented; sync_bn silently degrades to bn,
+custom_layers.py:26-29).  Here multi-chip is first-class:
+
+  * ``make_mesh('data')`` over all devices (ICI within a slice).
+  * ``shard_train_step`` wraps the train step in ``shard_map``: batch sharded
+    over 'data', params/optimizer replicated, gradients psum'd, BN statistics
+    pmean'd inside the step (real sync-BN).
+  * For a ~45M-param CNN, TP/PP buy nothing (SURVEY.md §2.3) — replicated
+    params + sharded batch is the bandwidth-optimal layout; collectives ride
+    ICI via XLA.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_train_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS):
+    """Wrap a per-replica train step for the mesh.
+
+    step_fn must have been built with ``make_train_step(..., axis_name=axis)``
+    so gradients/losses are psum'd and sync-BN sees the axis.  Returns a
+    jitted fn with state replicated and batch sharded along ``axis``.
+    """
+    batch_spec = P(axis)
+    mapped = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def put_replicated(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def put_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    return jax.device_put(batch, NamedSharding(mesh, P(axis)))

@@ -1,0 +1,113 @@
+"""The jitted PP-YOLO train step: forward, loss, grads, SGD, EMA, BN stats —
+one XLA program, optionally shard_map'd over a data-parallel mesh.
+
+Replaces the reference's hot loop (train.py:395-504) where loss logging and
+EMA each forced a device->host sync every iteration (train.py:428-434,
+EMA.py:30-43).  Gradients are computed only w.r.t. trainable leaves
+(freeze_at=5 freezes the whole backbone — train.py:264 — so backward stops
+at the head), and with a mesh the step runs under shard_map with psum'd
+grads and real cross-replica sync-BN.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.module import Ctx, ParamPolicy, flatten_tree, unflatten_tree, merge_updates
+from ..ops.ema import ema_update
+from .losses import YOLOv3Loss, IouLoss, IouAwareLoss, total_loss
+from .lr_schedule import make_lr_fn
+from .optimizer import init_momentum, sgd_momentum_update
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    velocity: Dict[str, Any]
+    ema: Optional[Dict[str, Any]]
+    step: jax.Array
+
+
+def split_trainable(params, flat_policy: Dict[str, ParamPolicy]):
+    flat = flatten_tree(params)
+    train = {k: v for k, v in flat.items() if flat_policy[k].trainable}
+    frozen = {k: v for k, v in flat.items() if not flat_policy[k].trainable}
+    return train, frozen
+
+
+def build_loss(cfg) -> YOLOv3Loss:
+    iou_loss = IouLoss(**cfg.iou_loss) if cfg.iou_loss_type else None
+    iou_aware_loss = (IouAwareLoss(**cfg.iou_aware_loss)
+                      if getattr(cfg, "iou_aware_loss_type", None) else None)
+    yl = dict(cfg.yolo_loss)
+    yl.pop("use_fine_grained_loss", None)
+    return YOLOv3Loss(iou_loss=iou_loss, iou_aware_loss=iou_aware_loss,
+                      downsample=cfg.head["downsample"], **yl)
+
+
+def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
+                    compute_dtype=jnp.float32):
+    """Returns ``step_fn(state, batch, rng) -> (state, loss_dict)``.
+
+    batch: {'image': [N,H,W,3], 'gt_bbox': [N,50,4] normalized xywh,
+            'targets': tuple of per-level [N,S,S,an,6+C]}.
+    Jit (or wrap in shard_map + jit) at the call site.
+    """
+    loss_obj = build_loss(cfg)
+    lr_fn = make_lr_fn(cfg.learningRate)
+    momentum = cfg.optimizerBuilder["optimizer"]["momentum"]
+    l2 = cfg.optimizerBuilder["regularizer"]["factor"]
+    flat_policy = model.flat_policy()
+    policy_tree = unflatten_tree(dict(flat_policy))
+    use_ema = getattr(cfg, "use_ema", False)
+    ema_decay = getattr(cfg, "ema_decay", 0.9998)
+    num_classes = cfg.head["num_classes"]
+    mask_anchors = model.head.mask_anchors
+
+    def loss_fn(trainable_flat, frozen_flat, batch, rng):
+        params = unflatten_tree({**trainable_flat, **frozen_flat})
+        updates: Dict[str, jax.Array] = {}
+        ctx = Ctx(train=True, rng=rng, updates=updates, axis_name=axis_name)
+        images = batch["image"].astype(compute_dtype)
+        outputs = model.outputs(params, images, ctx)
+        losses = loss_obj(outputs, list(batch["targets"]), batch["gt_bbox"],
+                          mask_anchors, num_classes)
+        return total_loss(losses), (losses, updates)
+
+    def step_fn(state: TrainState, batch, rng):
+        trainable, frozen = split_trainable(state.params, flat_policy)
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+        grads, (losses, bn_updates) = grad_fn(trainable, frozen, batch, rng)
+        if axis_name is not None:
+            grads = lax.pmean(grads, axis_name)
+            losses = lax.pmean(losses, axis_name)
+        lr_t = lr_fn(state.step)
+        # SGD over the trainable subset (flat dicts are pytrees too)
+        flat_pol_sub = {k: flat_policy[k] for k in trainable}
+        new_trainable, new_velocity = sgd_momentum_update(
+            trainable, grads, state.velocity, flat_pol_sub, lr_t,
+            momentum=momentum, l2_factor=l2)
+        params = unflatten_tree({**new_trainable, **frozen})
+        params = merge_updates(params, bn_updates)
+        ema = state.ema
+        if use_ema and ema is not None:
+            ema = ema_update(ema, params, state.step, ema_decay)
+        new_state = TrainState(params, new_velocity, ema, state.step + 1)
+        losses = dict(losses)
+        losses["total_loss"] = total_loss(
+            {k: v for k, v in losses.items() if k != "total_loss"})
+        losses["lr"] = lr_t
+        return new_state, losses
+
+    return step_fn
+
+
+def init_train_state(model, params, cfg) -> TrainState:
+    flat_policy = model.flat_policy()
+    trainable, _ = split_trainable(params, flat_policy)
+    velocity = {k: jnp.zeros_like(v) for k, v in trainable.items()}
+    ema = jax.tree.map(jnp.asarray, params) if getattr(cfg, "use_ema", False) else None
+    return TrainState(params, velocity, ema, jnp.zeros((), jnp.int32))

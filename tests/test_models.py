@@ -94,6 +94,7 @@ def test_dropblock_active_in_train_mode():
     oa = model.outputs(params, x, ctx_a)
     ob = model.outputs(params, x, ctx_b)
     assert not np.allclose(np.asarray(oa[0]), np.asarray(ob[0]))
-    # bn updates recorded for trainable (non-frozen) convs only
-    assert len(ctx_a.updates) > 0
-    assert all(k.startswith("head.") for k in ctx_a.updates)  # backbone frozen
+    # bn running-stat updates recorded for head AND frozen backbone (the
+    # reference freezes gradients only, BN stays in batch-stats mode)
+    assert any(k.startswith("head.") for k in ctx_a.updates)
+    assert any(k.startswith("backbone.") for k in ctx_a.updates)

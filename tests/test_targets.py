@@ -1,0 +1,85 @@
+"""Vectorized Gt2YoloTarget vs an independent per-sample loop oracle
+(spec: reference tools/transform.py:1318-1421)."""
+import numpy as np
+
+from ppyolo_tpu.data.targets import gt2yolo_targets
+
+ANCHORS = [[10, 14], [23, 27], [37, 58], [81, 82], [135, 169], [344, 319]]
+MASKS = [[3, 4, 5], [0, 1, 2]]
+DS = [32, 16]
+
+
+def _oracle_single(gt_bbox, gt_class, gt_score, h, w, num_classes, iou_thresh=1.0):
+    an_hw = np.array(ANCHORS) / np.array([[w, h]])
+
+    def jac(gw, gh, aw, ah):
+        inter = min(gw, aw) * min(gh, ah)
+        return inter / (gw * gh + aw * ah - inter)
+
+    outs = []
+    for mask, ds in zip(MASKS, DS):
+        gh_, gw_ = int(h / ds), int(w / ds)
+        t = np.zeros((len(mask), 6 + num_classes, gh_, gw_), np.float32)
+        for b in range(gt_bbox.shape[0]):
+            gx, gy, gw, gh = gt_bbox[b]
+            cls, score = gt_class[b], gt_score[b]
+            if gw <= 0 or gh <= 0 or score <= 0:
+                continue
+            best_iou, best_idx = 0.0, -1
+            for a in range(len(ANCHORS)):
+                iou = jac(gw, gh, an_hw[a, 0], an_hw[a, 1])
+                if iou > best_iou:
+                    best_iou, best_idx = iou, a
+            gi, gj = int(gx * gw_), int(gy * gh_)
+            if best_idx in mask:
+                bn = mask.index(best_idx)
+                t[bn, 0, gj, gi] = gx * gw_ - gi
+                t[bn, 1, gj, gi] = gy * gh_ - gj
+                t[bn, 2, gj, gi] = np.log(gw * w / ANCHORS[best_idx][0])
+                t[bn, 3, gj, gi] = np.log(gh * h / ANCHORS[best_idx][1])
+                t[bn, 4, gj, gi] = 2.0 - gw * gh
+                t[bn, 5, gj, gi] = score
+                t[bn, 6 + int(cls), gj, gi] = 1.0
+        outs.append(t)
+    return outs
+
+
+def test_targets_match_loop_oracle():
+    rng = np.random.RandomState(0)
+    b, m, c = 3, 12, 7
+    h = w = 64
+    gt_bbox = np.zeros((b, m, 4), np.float32)
+    gt_bbox[..., 0:2] = rng.uniform(0.1, 0.9, (b, m, 2))
+    gt_bbox[..., 2:4] = rng.uniform(0.02, 0.6, (b, m, 2))
+    gt_bbox[:, 8:] = 0  # padded rows
+    gt_class = rng.randint(0, c, (b, m))
+    gt_score = np.ones((b, m), np.float32)
+    gt_score[:, 8:] = 0
+
+    got = gt2yolo_targets(gt_bbox, gt_class, gt_score, (h, w), ANCHORS, MASKS,
+                          DS, c)
+    for bi in range(b):
+        ref = _oracle_single(gt_bbox[bi], gt_class[bi], gt_score[bi], h, w, c)
+        for lvl in range(len(MASKS)):
+            # ours is [gh, gw, an, ch]; oracle [an, ch, gh, gw]
+            mine = got[lvl][bi].transpose(2, 3, 0, 1)
+            np.testing.assert_allclose(mine, ref[lvl], atol=1e-6)
+
+
+def test_targets_tscale_and_values():
+    # single centered box matching anchor 4 of level 0
+    h = w = 128
+    aw, ah = 135 / w, 169 / h
+    gt_bbox = np.array([[[0.5, 0.5, aw, ah]]], np.float32)
+    gt_class = np.array([[2]])
+    gt_score = np.ones((1, 1), np.float32)
+    t = gt2yolo_targets(gt_bbox, gt_class, gt_score, (h, w), ANCHORS, MASKS, DS, 4)
+    lvl0 = t[0][0]              # [4, 4, 3, 10]
+    gi = gj = 2
+    slot = MASKS[0].index(4)
+    cell = lvl0[gj, gi, slot]
+    assert np.isclose(cell[0], 0.0) and np.isclose(cell[1], 0.0)
+    assert np.isclose(cell[2], 0.0, atol=1e-6)   # log(gw*w/anchor_w)=log(1)
+    assert np.isclose(cell[4], 2.0 - aw * ah)
+    assert cell[5] == 1.0 and cell[6 + 2] == 1.0
+    assert t[1].sum() == 0      # nothing lands on level 1
