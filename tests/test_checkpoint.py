@@ -1,0 +1,135 @@
+"""Checkpoint contract tests: torch/.pdparams name maps, npz IO, resume rules."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ppyolo_tpu.models import PPYOLO
+from ppyolo_tpu.ops.module import flatten_tree
+from ppyolo_tpu.checkpoint import (
+    save_params_npz, load_params_npz, convert_torch_state_dict,
+    convert_paddle_state_dict, resume_step_from_filename, gc_checkpoints,
+    save_train_state, load_train_state)
+from ppyolo_tpu.train import init_train_state, make_train_step
+from configs import PPYOLO_r18vd_Config, PPYOLO_2x_Config
+
+
+def _synthetic_torch_sd(params):
+    """Fabricate a reference-style state_dict (OIHW) from our tree."""
+    rng = np.random.RandomState(3)
+    sd = {}
+    for k, v in flatten_tree(params).items():
+        v = np.asarray(v)
+        if v.ndim == 4:
+            sd[k] = rng.randn(v.shape[3], v.shape[2], v.shape[0], v.shape[1]).astype(np.float32)
+        else:
+            sd[k] = rng.randn(*v.shape).astype(np.float32)
+    return sd
+
+
+def test_torch_convert_roundtrip_and_skip():
+    cfg = PPYOLO_r18vd_Config()
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    sd = _synthetic_torch_sd(params)
+    new = convert_torch_state_dict(sd, params, verbose=False)
+    flat = flatten_tree(new)
+    for k, v in sd.items():
+        got = np.asarray(flat[k])
+        want = v.transpose(2, 3, 1, 0) if v.ndim == 4 else v
+        np.testing.assert_array_equal(got, want)
+
+    # class-count fine-tune: output conv shape mismatch must be skipped
+    # (reference train.py:156-169, README.md:201)
+    bad = dict(sd)
+    k = "head.yolo_output_convs.0.conv.weight"
+    bad[k] = np.zeros((13, 512, 1, 1), np.float32)
+    new2 = convert_torch_state_dict(bad, params, verbose=False)
+    np.testing.assert_array_equal(
+        np.asarray(flatten_tree(new2)[k]), np.asarray(flatten_tree(params)[k]))
+
+
+def test_paddle_convert_covers_all_convs():
+    cfg = PPYOLO_2x_Config()
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+
+    # fabricate a paddle dict from the generated names
+    sd = {}
+    convs = list(model.backbone.iter_convs()) + list(model.head.iter_convs())
+    for conv in convs:
+        p = conv.paddle_name
+        kh = kw = conv.ksize
+        if p.startswith("yolo_output"):
+            sd[f"{p}.weights"] = rng.randn(conv.cout, conv.cin, kh, kw).astype(np.float32)
+            sd[f"{p}.bias"] = rng.randn(conv.cout).astype(np.float32)
+        elif "." in p:
+            sd[f"{p}.conv.weights"] = rng.randn(conv.cout, conv.cin, kh, kw).astype(np.float32)
+            for s in ("scale", "offset", "mean", "var"):
+                sd[f"{p}.bn.{s}"] = rng.randn(conv.cout).astype(np.float32)
+        else:
+            bn_base = ("bnv" + p[4:]) if p.startswith("conv1_") else ("bn" + p[3:])
+            if conv.use_dcn:
+                sd[f"{p}_conv_offset.w_0"] = rng.randn(3 * kh * kw, conv.cin, kh, kw).astype(np.float32)
+                sd[f"{p}_conv_offset.b_0"] = rng.randn(3 * kh * kw).astype(np.float32)
+            sd[f"{p}_weights"] = rng.randn(conv.cout, conv.cin, kh, kw).astype(np.float32)
+            for s in ("scale", "offset", "mean", "variance"):
+                sd[f"{bn_base}_{s}"] = rng.randn(conv.cout).astype(np.float32)
+
+    new = convert_paddle_state_dict(sd, model, params, verbose=False)
+    flat_old = flatten_tree(params)
+    flat_new = flatten_tree(new)
+    # every conv weight and bn leaf must have been replaced
+    changed = sum(1 for k in flat_old
+                  if not np.array_equal(np.asarray(flat_old[k]), np.asarray(flat_new[k])))
+    total = len(flat_old)
+    assert changed >= total - 1, f"only {changed}/{total} leaves converted"
+    # spot check a DCN leaf mapping (stage5 only: ppyolo_2x.py:99)
+    w = sd["res5a_branch2b_weights"].transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(
+        np.asarray(flat_new["backbone.stage5_0.conv2.conv.dcn_weight"]), w)
+    np.testing.assert_array_equal(
+        np.asarray(flat_new["backbone.stage1_conv1_2.bn.running_var"]),
+        sd["bnv1_2_variance"])
+
+
+def test_npz_roundtrip_and_gc(tmp_path):
+    cfg = PPYOLO_r18vd_Config()
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    p = str(tmp_path / "m.npz")
+    save_params_npz(p, params)
+    zeroed = jax.tree.map(jnp.zeros_like, params)
+    back = load_params_npz(p, zeroed)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert resume_step_from_filename("weights/step00012000.npz") == 12000
+    assert resume_step_from_filename("best_model.npz") is None
+
+    for i in range(13):
+        save_params_npz(str(tmp_path / f"step{i:08d}.npz"), {"a": jnp.zeros(1)})
+    gc_checkpoints(str(tmp_path), keep=10)
+    import glob
+    assert len(glob.glob(str(tmp_path / "step*.npz"))) == 10
+
+
+def test_train_state_roundtrip(tmp_path):
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 4
+    cfg.head = dict(cfg.head, num_classes=4)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    p = str(tmp_path / "state.npz")
+    save_train_state(p, state)
+    fresh = init_train_state(model, model.init(jax.random.PRNGKey(1)), cfg)
+    restored = load_train_state(p, fresh)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        np.asarray(jax.tree.leaves(restored.params)[0]))
+    assert restored.ema is not None
