@@ -1,0 +1,141 @@
+"""COCO evaluation harness (reference tools/cocotools.py re-built).
+
+Keeps the reference's protocol: per-image result shards under
+eval_results/bbox/ (cocotools.py:159-191), xywh + catid remap + .2f-round
+rows, merged into eval_results/bbox_detections.json, then evaluated — via
+pycocotools when importable, else the built-in COCOeval-compatible
+``coco_metric.evaluate_map``.  Detection happens in fixed-size batches
+through one jitted device program (Detector.predict_batch)."""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+# COCO class-index <-> category-id maps (reference cocotools.py:22-36)
+COCO_CLSID2CATID = {
+    0: 1, 1: 2, 2: 3, 3: 4, 4: 5, 5: 6, 6: 7, 7: 8, 8: 9, 9: 10, 10: 11,
+    11: 13, 12: 14, 13: 15, 14: 16, 15: 17, 16: 18, 17: 19, 18: 20, 19: 21,
+    20: 22, 21: 23, 22: 24, 23: 25, 24: 27, 25: 28, 26: 31, 27: 32, 28: 33,
+    29: 34, 30: 35, 31: 36, 32: 37, 33: 38, 34: 39, 35: 40, 36: 41, 37: 42,
+    38: 43, 39: 44, 40: 46, 41: 47, 42: 48, 43: 49, 44: 50, 45: 51, 46: 52,
+    47: 53, 48: 54, 49: 55, 50: 56, 51: 57, 52: 58, 53: 59, 54: 60, 55: 61,
+    56: 62, 57: 63, 58: 64, 59: 65, 60: 67, 61: 70, 62: 72, 63: 73, 64: 74,
+    65: 75, 66: 76, 67: 77, 68: 78, 69: 79, 70: 80, 71: 81, 72: 82, 73: 84,
+    74: 85, 75: 86, 76: 87, 77: 88, 78: 89, 79: 90,
+}
+COCO_CATID2CLSID = {v: k for k, v in COCO_CLSID2CATID.items()}
+
+
+def get_classes(classes_path: str) -> List[str]:
+    with open(classes_path) as f:
+        return [c.strip() for c in f.readlines() if c.strip()]
+
+
+def detections_to_coco(pred: np.ndarray, im_id: int,
+                       clsid2catid: Dict[int, int]) -> List[dict]:
+    """[keep_top_k, 6] rows -> COCO result dicts (cocotools.py:159-191
+    format: xywh, catid remap, rounded to 2 decimals)."""
+    out = []
+    for row in pred:
+        label, score, x0, y0, x1, y1 = row
+        if label < 0:
+            continue
+        w, h = x1 - x0, y1 - y0
+        out.append({
+            "image_id": int(im_id),
+            "category_id": int(clsid2catid[int(label)]),
+            "bbox": [round(float(x0), 2), round(float(y0), 2),
+                     round(float(w), 2), round(float(h), 2)],
+            "score": float(round(float(score), 6)),
+        })
+    return out
+
+
+def evaluate_detections(detections: List[dict], anno_file: str,
+                        *, style: str = "bbox"):
+    """Evaluate merged detections: pycocotools if available, else built-in."""
+    try:  # pragma: no cover - pycocotools not in this image
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+        import tempfile
+
+        coco_gt = COCO(anno_file)
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+            json.dump(detections, f)
+            tmp = f.name
+        coco_dt = coco_gt.loadRes(tmp)
+        ev = COCOeval(coco_gt, coco_dt, style)
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+        return ev.stats
+    except ImportError:
+        from .coco_metric import evaluate_map
+
+        with open(anno_file) as f:
+            gt = json.load(f)
+        return evaluate_map(gt, detections)
+
+
+def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
+              eval_batch_size: int, *, type_: str = "eval",
+              result_dir: str = "eval_results",
+              clsid2catid: Optional[Dict[int, int]] = None):
+    """Drive the detector over the val set and compute mAP
+    (reference cocotools.py:195-277).  Returns box AP stats (or writes the
+    test-dev submission json when type_=='test_dev')."""
+    clsid2catid = clsid2catid or COCO_CLSID2CATID
+    bbox_dir = os.path.join(result_dir, "bbox")
+    if os.path.exists(result_dir):
+        shutil.rmtree(result_dir, ignore_errors=True)
+    os.makedirs(bbox_dir, exist_ok=True)
+
+    all_dets: List[dict] = []
+    n = len(images)
+    start = time.time()
+    i = 0
+    while i < n:
+        batch = images[i:i + eval_batch_size]
+        pimages, sizes, ids = [], [], []
+        for im in batch:
+            img = cv2.imread(os.path.join(eval_pre_path, im["file_name"]))
+            p, s = detector.process_image(img)
+            pimages.append(p[0])
+            sizes.append(s[0])
+            ids.append(im["id"])
+        # pad the tail so the jitted program shape is stable
+        pad = eval_batch_size - len(batch)
+        if pad:
+            pimages += [pimages[-1]] * pad
+            sizes += [sizes[-1]] * pad
+        preds = detector.predict_batch(np.stack(pimages), np.stack(sizes))
+        for j, im_id in enumerate(ids):
+            dets = detections_to_coco(preds[j], im_id, clsid2catid)
+            all_dets.extend(dets)
+            with open(os.path.join(bbox_dir, f"{im_id}.json"), "w") as f:
+                f.write(json.dumps(dets) + "\n")
+        i += eval_batch_size
+        if i % (20 * eval_batch_size) == 0:
+            elapsed = time.time() - start
+            print(f"Test iter {i}, {i / max(elapsed, 1e-9):.1f} img/s")
+    cost = time.time() - start
+    print(f"total time: {cost:.2f}s, speed: {n / max(cost, 1e-9):.1f} img/s")
+
+    merged = os.path.join(result_dir, "bbox_detections.json")
+    with open(merged, "w") as f:
+        json.dump(all_dets, f)
+    if type_ == "test_dev":
+        print(f"test-dev submission written to {merged}")
+        return None
+    stats = evaluate_detections(all_dets, anno_file)
+    return stats

@@ -1,0 +1,90 @@
+"""Inference driver — the reference ``Decode`` (model/decode_np.py:21-150)
+rebuilt TPU-first: preprocessing on host (cv2, interp parity with the config,
+resizeImage['interp']=2 == INTER_CUBIC), then ONE jitted device program per
+target size doing backbone -> head -> IoU-aware fuse -> grid-sensitive decode
+-> batched Matrix-NMS, with a single [B, keep_top_k, 6] device->host copy
+(the reference round-trips per image and loops NMS in Python,
+head.py:461-464 / decode_np.py:142-150)."""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..ops.module import Ctx
+
+
+class Detector:
+    """Batched detector with compiled-per-size predict functions."""
+
+    def __init__(self, model, params, cfg, *, target_size: Optional[int] = None,
+                 compute_dtype=jnp.float32):
+        self.model = model
+        self.cfg = cfg
+        self.params = params
+        self.target_size = int(target_size or cfg.test_cfg["target_size"])
+        self.mean = np.array(cfg.normalizeImage["mean"], np.float32)
+        self.std = np.array(cfg.normalizeImage["std"], np.float32)
+        self.interp = int(cfg.resizeImage.get("interp", 2))
+        self.to_bgr = bool(cfg.permute.get("to_bgr", False))
+        self.compute_dtype = compute_dtype
+        self._predict_jit = jax.jit(self._predict_fn)
+
+    # -- host preprocessing (decode_np.py:125-140) --------------------------
+    def process_image(self, img_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        im = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
+        h, w = im.shape[:2]
+        ts = self.target_size
+        im = cv2.resize(im, None, None, fx=ts / w, fy=ts / h,
+                        interpolation=self.interp)
+        im = im.astype(np.float32) / 255.0
+        im = (im - self.mean) / self.std
+        if self.to_bgr:
+            im = im[..., ::-1]
+        return im[None], np.array([[h, w]], np.float32)
+
+    # -- device program -----------------------------------------------------
+    def _predict_fn(self, params, images, im_size):
+        images = images.astype(self.compute_dtype)
+        return self.model.predict(params, images, im_size, Ctx(train=False))
+
+    def predict_batch(self, pimages: np.ndarray, im_sizes: np.ndarray) -> np.ndarray:
+        """pimages [B,S,S,3] preprocessed; im_sizes [B,2] (h,w).
+        Returns [B, keep_top_k, 6] numpy (label, score, x0, y0, x1, y1)."""
+        out = self._predict_jit(self.params, jnp.asarray(pimages),
+                                jnp.asarray(im_sizes))
+        return np.asarray(out)
+
+    # -- reference-compatible per-image API (decode_np.py:41-96) ------------
+    def detect_image(self, img_bgr: np.ndarray, draw_thresh: Optional[float] = None):
+        pimage, im_size = self.process_image(img_bgr)
+        pred = self.predict_batch(pimage, im_size)[0]
+        keep = pred[:, 0] >= 0
+        if draw_thresh is not None:
+            keep &= pred[:, 1] >= draw_thresh
+        boxes = pred[keep, 2:6]
+        scores = pred[keep, 1]
+        classes = pred[keep, 0].astype(np.int32)
+        return boxes, scores, classes
+
+    def detect_batch(self, imgs_bgr: List[np.ndarray]):
+        pimages, sizes = [], []
+        for im in imgs_bgr:
+            p, s = self.process_image(im)
+            pimages.append(p[0])
+            sizes.append(s[0])
+        preds = self.predict_batch(np.stack(pimages), np.stack(sizes))
+        results = []
+        for pred in preds:
+            keep = pred[:, 0] >= 0
+            results.append((pred[keep, 2:6], pred[keep, 1],
+                            pred[keep, 0].astype(np.int32)))
+        return results

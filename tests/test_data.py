@@ -1,0 +1,168 @@
+"""Data pipeline tests: transforms, COCO record cleaning, batch assembly."""
+import json
+
+import numpy as np
+import pytest
+
+from ppyolo_tpu.data import (CocoJson, category_maps, data_clean,
+                             assemble_batch, train_batches, Prefetcher,
+                             transforms as T)
+from configs import PPYOLO_r18vd_Config
+
+RNG = np.random.RandomState(0)
+
+
+def _sample(h=40, w=60, nboxes=2):
+    return {
+        "image": RNG.randint(0, 255, (h, w, 3)).astype(np.uint8),
+        "gt_bbox": np.array([[5, 5, 20, 30], [30, 10, 55, 35]][:nboxes],
+                            np.float32),
+        "gt_class": np.array([[1], [3]][:nboxes], np.int32),
+        "gt_score": np.ones((nboxes, 1), np.float32),
+        "is_crowd": np.zeros((nboxes, 1), np.int32),
+        "h": h, "w": w,
+    }
+
+
+def test_normalize_box_and_xywh():
+    s = _sample()
+    T.NormalizeBox()(s, RNG)
+    assert s["gt_bbox"].max() <= 1.0
+    np.testing.assert_allclose(s["gt_bbox"][0], [5 / 60, 5 / 40, 20 / 60, 30 / 40])
+    T.BboxXYXY2XYWH()(s, RNG)
+    np.testing.assert_allclose(
+        s["gt_bbox"][0],
+        [(5 + 20) / 2 / 60, (5 + 30) / 2 / 40, 15 / 60, 25 / 40], rtol=1e-5)
+
+
+def test_flip_box_math():
+    s = _sample()
+    rng = np.random.RandomState(1)
+    op = T.RandomFlipImage(prob=1.1)  # always flip
+    before = s["gt_bbox"].copy()
+    op(s, rng)
+    np.testing.assert_allclose(s["gt_bbox"][:, 0], 60 - before[:, 2] - 1)
+    np.testing.assert_allclose(s["gt_bbox"][:, 2], 60 - before[:, 0] - 1)
+    assert s["flipped"]
+
+
+def test_pad_box():
+    s = _sample()
+    T.PadBox(num_max_boxes=50)(s, RNG)
+    assert s["gt_bbox"].shape == (50, 4)
+    assert s["gt_class"].shape == (50,)
+    assert s["gt_score"].shape == (50,)
+    assert s["gt_score"][:2].sum() == 2.0 and s["gt_score"][2:].sum() == 0
+
+
+def test_mixup_concat():
+    s = _sample()
+    s["mixup"] = _sample(h=50, w=50)
+    rng = np.random.RandomState(0)
+    out = T.MixupImage()(s, rng)
+    assert out["image"].shape[0] == 50 and out["image"].shape[1] == 60
+    assert out["gt_bbox"].shape[0] == 4
+    np.testing.assert_allclose(out["gt_score"].sum(), 4 * 0.5, atol=1.0)
+
+
+def test_random_expand_box_shift():
+    s = _sample()
+    rng = np.random.RandomState(7)
+    op = T.RandomExpand(prob=1.0)  # note: expands when uniform >= prob fails
+    # force the expand branch: prob=0 means always expand per reference logic
+    op = T.RandomExpand(prob=0.0)
+    before = s["gt_bbox"].copy()
+    op(s, rng)
+    assert s["h"] >= 40 and s["w"] >= 60
+    wh = s["gt_bbox"][:, 2:] - s["gt_bbox"][:, :2]
+    np.testing.assert_allclose(wh, before[:, 2:] - before[:, :2])
+
+
+def test_random_crop_keeps_boxes_valid():
+    rng = np.random.RandomState(2)
+    for _ in range(5):
+        s = _sample(h=100, w=120)
+        T.RandomCrop()(s, rng)
+        b = s["gt_bbox"]
+        if len(b):
+            assert (b[:, 2:] > b[:, :2]).all()
+            assert b[:, 0::2].max() <= s["w"] and b[:, 1::2].max() <= s["h"]
+
+
+def test_color_distort_runs():
+    s = _sample()
+    out = T.ColorDistort()(s, np.random.RandomState(3))
+    assert out["image"].shape == (40, 60, 3)
+
+
+def test_coco_json_and_clean(tmp_path):
+    anno = {
+        "images": [{"id": 7, "file_name": "a.jpg", "width": 100, "height": 80}],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 5,
+             "bbox": [-5, 10, 30, 30], "area": 900, "iscrowd": 0},
+            {"id": 2, "image_id": 7, "category_id": 9,
+             "bbox": [10, 10, 0, 5], "area": 0, "iscrowd": 0},   # invalid
+        ],
+        "categories": [{"id": 5, "name": "cat"}, {"id": 9, "name": "dog"}],
+    }
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps(anno))
+    coco = CocoJson(str(p))
+    catid2clsid, clsid2catid, names = category_maps(coco)
+    assert names == ["cat", "dog"] and clsid2catid[0] == 5
+    recs = data_clean(coco, coco.get_img_ids(), catid2clsid, "imgs/")
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["gt_bbox"].shape == (1, 4)          # invalid box filtered
+    np.testing.assert_allclose(r["gt_bbox"][0], [0, 10, 29, 39])  # clipped
+    assert r["im_file"] == "imgs/a.jpg"
+
+
+def test_assemble_batch_shapes():
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 6
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=6)
+    samples = []
+    for _ in range(2):
+        s = _sample(h=100, w=120)
+        T.NormalizeBox()(s, RNG)
+        T.PadBox(50)(s, RNG)
+        T.BboxXYXY2XYWH()(s, RNG)
+        samples.append(s)
+    rng = np.random.RandomState(0)
+    batch = assemble_batch(samples, cfg, rng, fixed_shape=320)
+    assert batch["image"].shape == (2, 320, 320, 3)
+    assert batch["gt_bbox"].shape == (2, 50, 4)
+    assert batch["targets"][0].shape == (2, 10, 10, 3, 12)
+    assert batch["targets"][1].shape == (2, 20, 20, 3, 12)
+    # normalization applied
+    assert abs(batch["image"].mean()) < 3.0
+
+
+def test_train_batches_stream(tmp_path):
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 6
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=6)
+    cfg.train_cfg = dict(cfg.train_cfg, batch_size=2)
+    # records with pre-decoded images (skip imdecode by monkeypatching decode)
+    import cv2
+    recs = []
+    for i in range(4):
+        img = RNG.randint(0, 255, (60, 80, 3)).astype(np.uint8)
+        f = tmp_path / f"im{i}.jpg"
+        cv2.imwrite(str(f), img)
+        recs.append({
+            "im_file": str(f), "im_id": np.array([i]), "h": 60.0, "w": 80.0,
+            "gt_bbox": np.array([[5, 5, 40, 40]], np.float32),
+            "gt_class": np.array([[i % 6]], np.int32),
+            "gt_score": np.ones((1, 1), np.float32),
+            "is_crowd": np.zeros((1, 1), np.int32),
+        })
+    it = train_batches(recs, cfg, seed=0, fixed_shape=320)
+    pf = Prefetcher(it, max_batch=2)
+    b = next(pf)
+    assert b["image"].shape == (2, 320, 320, 3)
+    assert len(b["targets"]) == 2
+    b2 = next(pf)
+    assert b2["image"].shape[0] == 2
