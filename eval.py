@@ -1,0 +1,66 @@
+#! /usr/bin/env python
+"""COCO val mAP evaluation (reference eval.py re-built).
+
+python eval.py --config=0
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s-%(levelname)s: %(message)s",
+                    datefmt="%Y-%m-%d %H:%M:%S")
+logger = logging.getLogger(__name__)
+
+
+def main(type_: str = "eval"):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
+    p.add_argument("--use_gpu", type=bool, default=True)
+    args = p.parse_args()
+
+    import jax
+    from configs import get_config
+    from ppyolo_tpu.models import PPYOLO
+    from ppyolo_tpu.checkpoint import load_params_npz
+    from ppyolo_tpu.data import CocoJson, category_maps
+    from ppyolo_tpu.eval import Detector, coco_eval, COCO_CLSID2CATID
+
+    cfg = get_config(args.config)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    model_path = cfg.eval_cfg.get("model_path")
+    if model_path and os.path.exists(model_path):
+        if model_path.endswith(".pt"):
+            from ppyolo_tpu.checkpoint import (load_torch_state_dict,
+                                               convert_torch_state_dict)
+            params = convert_torch_state_dict(
+                load_torch_state_dict(model_path), params)
+        else:
+            params = load_params_npz(model_path, params)
+        logger.info("loaded %s", model_path)
+    else:
+        logger.warning("model file %s missing - using random init", model_path)
+
+    anno_path = cfg.test_path if type_ == "test_dev" else cfg.val_path
+    pre_path = cfg.test_pre_path if type_ == "test_dev" else cfg.val_pre_path
+    coco = CocoJson(anno_path)
+    catid2clsid, clsid2catid, _ = category_maps(coco)
+    if cfg.num_classes == 80:
+        clsid2catid = COCO_CLSID2CATID
+    images = list(coco.dataset["images"])
+    if type_ == "eval":  # keep only images with gt (reference eval.py:66-72)
+        images = [im for im in images if coco.img_anns.get(im["id"])]
+
+    det = Detector(model, params, cfg, target_size=cfg.eval_cfg["target_size"])
+    stats = coco_eval(det, images, pre_path, anno_path,
+                      cfg.eval_cfg["eval_batch_size"], type_=type_,
+                      clsid2catid=clsid2catid)
+    if stats is not None:
+        logger.info("box ap: %.4f", float(stats[0]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+#! /usr/bin/env python
+"""PP-YOLO training entry point (reference train.py re-built TPU-first).
+
+python train.py --config=0
+
+Differences from the reference hot loop (train.py:395-504):
+  * forward/loss/grads/SGD/EMA/BN-stats are ONE jitted XLA program
+  * multi-device: set --ndev>1 to shard the batch over a device mesh with
+    psum'd gradients and real sync-BN (the reference has no multi-card path)
+  * checkpoints carry optimizer momentum + EMA + step (the reference loses
+    them on resume)
+"""
+import argparse
+import logging
+import os
+import sys
+import time
+from collections import deque
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s-%(levelname)s: %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S")
+logger = logging.getLogger(__name__)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
+    p.add_argument("--use_gpu", type=bool, default=True)
+    p.add_argument("--ndev", type=int, default=0,
+                   help="devices for data-parallel training (0 = all)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from configs import get_config
+    from ppyolo_tpu.models import PPYOLO
+    from ppyolo_tpu.train import make_train_step, init_train_state
+    from ppyolo_tpu.checkpoint import (load_params_npz, save_params_npz,
+                                       save_train_state, load_train_state,
+                                       resume_step_from_filename,
+                                       gc_checkpoints)
+    from ppyolo_tpu.data import (CocoJson, category_maps, data_clean,
+                                 train_batches, Prefetcher)
+    from ppyolo_tpu.parallel import (make_mesh, shard_train_step,
+                                     put_replicated, put_batch)
+    from ppyolo_tpu.eval import Detector, coco_eval
+
+    cfg = get_config(args.config)
+    tc = cfg.train_cfg
+
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # weight load + iter resume (reference train.py:255-261)
+    start_iter = 0
+    model_path = tc.get("model_path")
+    if model_path and os.path.exists(model_path):
+        if model_path.endswith(".pt"):
+            from ppyolo_tpu.checkpoint import (load_torch_state_dict,
+                                               convert_torch_state_dict)
+            params = convert_torch_state_dict(
+                load_torch_state_dict(model_path), params)
+        else:
+            params = load_params_npz(model_path, params)
+        step = resume_step_from_filename(model_path)
+        if step:
+            start_iter = step
+        logger.info("loaded %s (resume iter %d)", model_path, start_iter)
+
+    state = init_train_state(model, params, cfg)
+    state = state._replace(step=jnp.asarray(start_iter, jnp.int32))
+
+    ndev = args.ndev or len(jax.devices())
+    use_mesh = ndev > 1
+    if use_mesh:
+        mesh = make_mesh(ndev)
+        step_fn = shard_train_step(
+            make_train_step(model, cfg, axis_name="data"), mesh)
+        state = put_replicated(state, mesh)
+        logger.info("data-parallel over %d devices", ndev)
+    else:
+        step_fn = jax.jit(make_train_step(model, cfg))
+
+    # dataset
+    coco = CocoJson(cfg.train_path)
+    catid2clsid, clsid2catid, class_names = category_maps(coco)
+    records = data_clean(coco, coco.get_img_ids(), catid2clsid,
+                         cfg.train_pre_path)
+    logger.info("%d samples in train set.", len(records))
+
+    batches = Prefetcher(
+        train_batches(records, cfg, seed=0, start_iter=start_iter),
+        max_batch=tc.get("max_batch", 3))
+
+    os.makedirs("./weights", exist_ok=True)
+    best_ap = -1.0
+    time_q = deque(maxlen=20)
+    rng = jax.random.PRNGKey(1)
+
+    for batch in batches:
+        t0 = time.time()
+        it = int(state.step) if not use_mesh else int(np.asarray(state.step))
+        rng, sub = jax.random.split(rng)
+        device_batch = {k: v for k, v in batch.items() if k != "shape"}
+        device_batch = {
+            "image": device_batch["image"],
+            "gt_bbox": device_batch["gt_bbox"],
+            "targets": device_batch["targets"],
+        }
+        if use_mesh:
+            device_batch = put_batch(device_batch, mesh)
+        state, losses = step_fn(state, device_batch, sub)
+        it += 1
+
+        if it % 20 == 0:
+            jax.block_until_ready(losses)
+            time_q.append(time.time() - t0)
+            spd = batch["image"].shape[0] / (sum(time_q) / len(time_q))
+            msg = ", ".join(f"{k}={float(v):.3f}" for k, v in losses.items())
+            eta_s = (tc["max_iters"] - it) * (sum(time_q) / len(time_q))
+            logger.info("iter %d, %s, %.1f imgs/s, eta %.1fh",
+                        it, msg, spd, eta_s / 3600)
+
+        if it % tc["save_iter"] == 0:
+            eval_params = state.ema if state.ema is not None else state.params
+            save_params_npz(f"./weights/step{it:08d}.npz", eval_params)
+            save_train_state("./weights/last_state.npz", state)
+            gc_checkpoints("./weights", keep=10)
+            logger.info("saved ./weights/step%08d.npz", it)
+
+        if it % tc["eval_iter"] == 0 and os.path.exists(cfg.val_path):
+            eval_params = state.ema if state.ema is not None else state.params
+            det = Detector(model, eval_params, cfg,
+                           target_size=cfg.eval_cfg["target_size"])
+            val = CocoJson(cfg.val_path)
+            images = [im for im in val.dataset["images"]
+                      if val.img_anns.get(im["id"])]
+            stats = coco_eval(det, images, cfg.val_pre_path, cfg.val_path,
+                              cfg.eval_cfg["eval_batch_size"])
+            ap = float(stats[0]) if stats is not None else -1
+            logger.info("box ap: %.4f (best %.4f)", ap, best_ap)
+            if ap > best_ap:
+                best_ap = ap
+                save_params_npz("./weights/best_model.npz", eval_params)
+
+        if it >= tc["max_iters"]:
+            logger.info("done at iter %d", it)
+            break
+
+
+if __name__ == "__main__":
+    main()
