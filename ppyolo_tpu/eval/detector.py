@@ -26,9 +26,17 @@ class Detector:
     """Batched detector with compiled-per-size predict functions."""
 
     def __init__(self, model, params, cfg, *, target_size: Optional[int] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, precision: str = "fp32",
+                 fold_bn: bool = False):
+        from .optimize import optimize_for_inference
+
         self.model = model
         self.cfg = cfg
+        if fold_bn or precision == "bf16":
+            params = optimize_for_inference(params, precision=precision,
+                                            fold_bn=fold_bn)
+            if precision == "bf16":
+                compute_dtype = jnp.bfloat16
         self.params = params
         self.target_size = int(target_size or cfg.test_cfg["target_size"])
         self.mean = np.array(cfg.normalizeImage["mean"], np.float32)

@@ -260,6 +260,7 @@ class YOLOv3Head(_Composite):
         outputs = self.get_outputs(params, body_feats, ctx)
         boxes, scores = [], []
         for i, out in enumerate(outputs):
+            out = out.astype(jnp.float32)  # decode epilogue in full precision
             an = len(self.anchor_masks[i])
             if self.iou_aware:
                 out = iou_aware_score(out, an, self.num_classes,
