@@ -541,6 +541,45 @@ class RandomShape(RandomShapeSingle):
         return samples
 
 
+class Gt2YoloTargetSingle(BaseOperator):
+    """Per-sample static target assignment, API-compatible with the
+    reference op (transform.py:1318-1421) but backed by the vectorized
+    numpy scatter in data/targets.py.  Writes sample['target{i}'] with the
+    TPU layout [gh, gw, an, 6+C]."""
+
+    def __init__(self, anchors, anchor_masks, downsample_ratios,
+                 num_classes=80, iou_thresh=1.0):
+        super().__init__()
+        self.anchors = anchors
+        self.anchor_masks = anchor_masks
+        self.downsample_ratios = downsample_ratios
+        self.num_classes = num_classes
+        self.iou_thresh = iou_thresh
+
+    def __call__(self, sample, rng=None):
+        from .targets import gt2yolo_targets
+
+        h, w = sample["image"].shape[0:2]
+        targets = gt2yolo_targets(
+            sample["gt_bbox"][None],
+            np.reshape(sample["gt_class"], (1, -1)),
+            np.reshape(sample["gt_score"], (1, -1)).astype(np.float32),
+            (h, w), self.anchors, self.anchor_masks, self.downsample_ratios,
+            self.num_classes, iou_thresh=self.iou_thresh)
+        for i, t in enumerate(targets):
+            sample[f"target{i}"] = t[0]
+        return sample
+
+
+class Gt2YoloTarget(Gt2YoloTargetSingle):
+    """Batch-level variant (reference transform.py:1211-1315)."""
+
+    def __call__(self, samples, rng=None):
+        for s in samples:
+            Gt2YoloTargetSingle.__call__(self, s, rng)
+        return samples
+
+
 # name registry used by the config-driven pipeline builder
 SAMPLE_OPS = {
     "decodeImage": DecodeImage,

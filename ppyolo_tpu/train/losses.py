@@ -82,14 +82,35 @@ def _elementwise_iou(pred, gt, eps: float = 1e-10):
     return inter / union
 
 
+def _ciou_term(pred, gt, iouk, eps: float = 1e-10):
+    """DIoU+CIoU penalty (reference iou_losses.py:100-133)."""
+    x1, y1, x2, y2 = pred
+    x1g, y1g, x2g, y2g = gt
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    w = (x2 - x1) + ((x2 - x1) == 0).astype(x1.dtype)
+    h = (y2 - y1) + ((y2 - y1) == 0).astype(y1.dtype)
+    cxg, cyg = (x1g + x2g) / 2, (y1g + y2g) / 2
+    wg, hg = x2g - x1g, y2g - y1g
+    xc1, yc1 = jnp.minimum(x1, x1g), jnp.minimum(y1, y1g)
+    xc2, yc2 = jnp.maximum(x2, x2g), jnp.maximum(y2, y2g)
+    dist_inter = (cx - cxg) ** 2 + (cy - cyg) ** 2
+    dist_union = (xc2 - xc1) ** 2 + (yc2 - yc1) ** 2
+    diou = (dist_inter + eps) / (dist_union + eps)
+    arctan = jnp.arctan(wg / hg) - jnp.arctan(w / h)
+    ar_loss = 4.0 / (jnp.pi ** 2) * arctan * arctan
+    alpha = lax.stop_gradient(ar_loss / (1.0 - iouk + ar_loss + eps))
+    return diou + alpha * ar_loss
+
+
 class IouLoss:
-    """loss = (1 - iou^2) * weight (reference iou_losses.py:15-98)."""
+    """loss = (1 - iou^2) * weight, optional CIoU term
+    (reference iou_losses.py:15-133)."""
 
     def __init__(self, loss_weight=2.5, max_height=608, max_width=608,
                  ciou_term=False, loss_square=True):
-        assert not ciou_term, "ciou_term is config-off in every PPYOLO recipe"
         self.loss_weight = loss_weight
         self.loss_square = loss_square
+        self.ciou_term = ciou_term
 
     def __call__(self, x, y, w, h, tx, ty, tw, th, anchors_wh, downsample,
                  scale_x_y):
@@ -98,6 +119,8 @@ class IouLoss:
         gt = _bbox_transform(tx, ty, tw, th, anchors_wh, downsample, scale_x_y,
                              is_gt=True)
         iouk = _elementwise_iou(pred, gt)
+        if self.ciou_term:
+            iouk = iouk - _ciou_term(pred, gt, iouk)
         loss = 1.0 - iouk * iouk if self.loss_square else 1.0 - iouk
         return loss * self.loss_weight
 
