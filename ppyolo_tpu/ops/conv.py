@@ -186,7 +186,13 @@ class ConvNormAct(Module):
                 bias=c["conv_offset"]["bias"],
             )
             k2 = self.ksize * self.ksize
-            x = deform_conv2d(
+            if jax.default_backend() == "tpu":
+                # Pallas one-hot-matmul kernel (3-6x the XLA gather lowering);
+                # backward runs the jnp formulation's autodiff via custom_vjp
+                from .deform_conv_pallas import deform_conv2d_fast as _dcn
+            else:
+                _dcn = deform_conv2d
+            x = _dcn(
                 x,
                 c["dcn_weight"],
                 om[..., : 2 * k2],

@@ -1,0 +1,198 @@
+"""Pallas TPU kernel for modulated deformable conv v2 (DCNv2).
+
+XLA's gather lowering on TPU is the bottleneck of the jnp formulation
+(measured ~25x the cost of the equivalent dense conv at PPYOLO stage-5
+shapes).  This kernel reformulates the irregular bilinear gather as a
+ONE-HOT MATMUL, which runs on the MXU:
+
+  For output tile P (flattened oH*oW) and tap k, build a selection matrix
+  S[P, Q] = sum_c w_c * onehot(idx_c)  (4 bilinear corners, Q = H*W),
+  then   sampled[P, C]   = S @ x_flat[Q, C]          (MXU)
+         out[P, outC]   += (sampled * mask_k) @ W_k  (MXU)
+
+Grid = (N, k2): the input tile and output accumulator stay VMEM-resident
+across the 9 tap iterations; nothing of size [P, k2, C] ever touches HBM
+(the jnp version materializes four such corner tensors).
+
+Numerics: S and the matmuls run in bf16 with fp32 accumulation; corner
+indices/weights are computed in fp32 on the XLA side with exactly the
+reference clamping semantics (custom_layers.py:612-615 in padded coords).
+
+Backward: ``deform_conv2d_fast`` wraps the kernel in a custom_vjp whose
+backward differentiates the (mathematically identical) jnp formulation —
+training uses the jnp path's autodiff, inference gets the fast kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .deform_conv import deform_conv2d
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _corner_tables(offset, mask, H, W, oH, oW, kh, kw, stride, padding):
+    """Per-(n, tap) corner indices/weights + modulation, fp32 on XLA side.
+
+    Returns idx [N,k2,P,4] int32, wgt [N,k2,P,4] f32, mod [N,k2,P] f32
+    with P = oH*oW (unpadded).
+    """
+    N = offset.shape[0]
+    k2 = kh * kw
+    f32 = jnp.float32
+    iy = jnp.arange(oH, dtype=f32) * stride - padding
+    ix = jnp.arange(oW, dtype=f32) * stride - padding
+    ky = jnp.arange(kh, dtype=f32)
+    kx = jnp.arange(kw, dtype=f32)
+    base_y = (iy[:, None, None] + ky[None, :, None])          # [oH,kh,1]
+    base_y = jnp.broadcast_to(base_y, (oH, kh, kw)).reshape(oH, k2)
+    base_x = jnp.broadcast_to(ix[:, None, None] + kx[None, None, :],
+                              (oW, kh, kw)).reshape(oW, k2)
+    off = offset.astype(f32).reshape(N, oH, oW, k2, 2)
+    pos_y = base_y[None, :, None, :] + off[..., 0]            # [N,oH,oW,k2]
+    pos_x = base_x[None, None, :, :] + off[..., 1]
+    pos_y = jnp.clip(pos_y, -float(padding), float(H - 1 + padding))
+    pos_x = jnp.clip(pos_x, -float(padding), float(W - 1 + padding))
+    y0 = jnp.floor(pos_y)
+    x0 = jnp.floor(pos_x)
+    ly = pos_y - y0
+    lx = pos_x - x0
+
+    idxs, wgts = [], []
+    for dy, dx, wc in ((0, 0, (1 - ly) * (1 - lx)), (0, 1, (1 - ly) * lx),
+                       (1, 0, ly * (1 - lx)), (1, 1, ly * lx)):
+        yc = y0 + dy
+        xc = x0 + dx
+        valid = ((yc >= 0) & (yc <= H - 1) & (xc >= 0) & (xc <= W - 1))
+        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        idxs.append(yi * W + xi)
+        wgts.append(wc * valid.astype(f32))
+    idx = jnp.stack(idxs, -1)                                  # [N,oH,oW,k2,4]
+    wgt = jnp.stack(wgts, -1)
+    mod = jax.nn.sigmoid(mask.astype(f32)).reshape(N, oH * oW, k2)
+    # -> [N, k2, P, 4] / [N, k2, P]
+    idx = idx.reshape(N, oH * oW, k2, 4).transpose(0, 2, 1, 3)
+    wgt = wgt.reshape(N, oH * oW, k2, 4).transpose(0, 2, 1, 3)
+    mod = mod.transpose(0, 2, 1)[..., None]                    # [N,k2,P,1]
+    return idx, wgt, mod
+
+
+def _kernel(idx_ref, wgt_ref, mod_ref, x_ref, w_ref, out_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    P, Q = idx_ref.shape[2], x_ref.shape[1]
+    row_q = lax.broadcasted_iota(jnp.int32, (P, Q), 1)
+    idx = idx_ref[0, 0]                                        # [P, 4]
+    wgt = wgt_ref[0, 0]
+    s = jnp.zeros((P, Q), jnp.float32)
+    for c in range(4):
+        sel = (row_q == idx[:, c:c + 1]).astype(jnp.float32)
+        s = s + sel * wgt[:, c:c + 1]
+    sampled = jnp.dot(s.astype(jnp.bfloat16), x_ref[0],
+                      preferred_element_type=jnp.float32)      # [P, C]
+    sampled = sampled * mod_ref[0, 0]                          # [P,1] bcast
+    out = jnp.dot(sampled.astype(jnp.bfloat16), w_ref[0],
+                  preferred_element_type=jnp.float32)          # [P, outC]
+    out_ref[0] += out
+
+
+def deform_conv2d_pallas(x, weight, offset, mask, *, stride: int = 1,
+                         padding: int = 1, bias=None,
+                         interpret: Optional[bool] = None):
+    """Pallas forward of DCNv2 (same contract as ops.deform_conv.deform_conv2d)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, H, W, C = x.shape
+    kh, kw, _, out_c = weight.shape
+    k2 = kh * kw
+    oH = (H + 2 * padding - (kh - 1) - 1) // stride + 1
+    oW = (W + 2 * padding - (kw - 1) - 1) // stride + 1
+    P, Q = oH * oW, H * W
+    Pp, Qp = _round_up(P, 8), _round_up(Q, 128)
+
+    idx, wgt, mod = _corner_tables(offset, mask, H, W, oH, oW, kh, kw,
+                                   stride, padding)
+    idx = jnp.pad(idx, ((0, 0), (0, 0), (0, Pp - P), (0, 0)),
+                  constant_values=-1)                      # -1 never matches
+    wgt = jnp.pad(wgt, ((0, 0), (0, 0), (0, Pp - P), (0, 0)))
+    mod = jnp.pad(mod, ((0, 0), (0, 0), (0, Pp - P), (0, 0)))
+    xf = jnp.pad(x.reshape(N, Q, C).astype(jnp.bfloat16),
+                 ((0, 0), (0, Qp - Q), (0, 0)))
+    wk = weight.reshape(k2, C, out_c).astype(jnp.bfloat16)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(N, k2),
+        in_specs=[
+            pl.BlockSpec((1, 1, Pp, 4), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp, 4), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp, 1), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, C), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, out_c), lambda n, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Pp, out_c), lambda n, k: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, Pp, out_c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * k2 * (Pp * Qp + Pp * C) * C,
+            bytes_accessed=N * (Qp * C * 2 + k2 * Pp * 40) + k2 * C * out_c * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, wgt, mod, xf, wk)
+
+    out = out[:, :P, :].reshape(N, oH, oW, out_c).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _dcn_fast(x, weight, offset, mask, stride, padding):
+    return deform_conv2d_pallas(x, weight, offset, mask, stride=stride,
+                                padding=padding)
+
+
+def _dcn_fast_fwd(x, weight, offset, mask, stride, padding):
+    return _dcn_fast(x, weight, offset, mask, stride, padding), \
+        (x, weight, offset, mask)
+
+
+def _dcn_fast_bwd(stride, padding, res, g):
+    x, weight, offset, mask = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, o_, m_: deform_conv2d(
+            x_, w_, o_, m_, stride=stride, padding=padding),
+        x, weight, offset, mask)
+    return vjp(g)
+
+
+_dcn_fast.defvjp(_dcn_fast_fwd, _dcn_fast_bwd)
+
+
+def deform_conv2d_fast(x, weight, offset, mask, *, stride: int = 1,
+                       padding: int = 1, bias=None):
+    """Differentiable DCNv2 with the Pallas forward (jnp-autodiff backward)."""
+    out = _dcn_fast(x, weight, offset, mask, stride, padding)
+    if bias is not None:
+        out = out + bias
+    return out
