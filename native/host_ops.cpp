@@ -1,0 +1,120 @@
+// Native host-side ops for the ppyolo_tpu runtime.
+//
+// The reference framework's native layer is CUDA kernels for DCNv2
+// (external/DCNv2/src/*); on TPU that role is played by the Pallas kernel.
+// The host-side hot loops that remain — COCO evaluation IoU matrices and
+// greedy detection matching (the part pycocotools implements in C), plus the
+// Gt2YoloTarget scatter — live here as a small C++ library bound via ctypes
+// (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC host_ops.cpp -o libhost_ops.so
+// (done automatically by ppyolo_tpu/native.py on first use).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Pairwise IoU of xywh boxes; crowd gt uses union = dt area
+// (pycocotools maskApi bbIou semantics).  out is [nd, ng] row-major.
+void bbox_iou_xywh(const double* dt, int64_t nd, const double* gt, int64_t ng,
+                   const uint8_t* iscrowd, double* out) {
+  for (int64_t j = 0; j < ng; ++j) {
+    const double gx1 = gt[j * 4 + 0], gy1 = gt[j * 4 + 1];
+    const double gw = gt[j * 4 + 2], gh = gt[j * 4 + 3];
+    const double gx2 = gx1 + gw, gy2 = gy1 + gh, ga = gw * gh;
+    const bool crowd = iscrowd[j] != 0;
+    for (int64_t i = 0; i < nd; ++i) {
+      const double dx1 = dt[i * 4 + 0], dy1 = dt[i * 4 + 1];
+      const double dw = dt[i * 4 + 2], dh = dt[i * 4 + 3];
+      const double dx2 = dx1 + dw, dy2 = dy1 + dh, da = dw * dh;
+      const double iw = std::min(dx2, gx2) - std::max(dx1, gx1);
+      const double ih = std::min(dy2, gy2) - std::max(dy1, gy1);
+      double v = 0.0;
+      if (iw > 0 && ih > 0) {
+        const double inter = iw * ih;
+        const double uni = crowd ? da : da + ga - inter;
+        v = inter / uni;
+      }
+      out[i * ng + j] = v;
+    }
+  }
+}
+
+// Greedy per-threshold matching (pycocotools cocoeval.evaluateImg inner
+// loop).  ious [nd, ng] row-major; g_ignore [ng] with non-ignored gts FIRST
+// (caller sorts); thrs [nt].  Outputs dt_m/gt_m [nt, nd] / [nt, ng] with -1
+// for unmatched.
+void match_greedy(const double* ious, int64_t nd, int64_t ng,
+                  const uint8_t* g_ignore, const double* thrs, int64_t nt,
+                  int64_t* dt_m, int64_t* gt_m) {
+  for (int64_t t = 0; t < nt; ++t) {
+    int64_t* dm = dt_m + t * nd;
+    int64_t* gm = gt_m + t * ng;
+    for (int64_t i = 0; i < nd; ++i) dm[i] = -1;
+    for (int64_t j = 0; j < ng; ++j) gm[j] = -1;
+    for (int64_t di = 0; di < nd; ++di) {
+      double best = std::min(thrs[t], 1.0 - 1e-10);
+      int64_t m = -1;
+      for (int64_t gi = 0; gi < ng; ++gi) {
+        if (gm[gi] >= 0 && !g_ignore[gi]) continue;
+        if (m > -1 && !g_ignore[m] && g_ignore[gi]) break;
+        const double v = ious[di * ng + gi];
+        if (v < best) continue;
+        best = v;
+        m = gi;
+      }
+      if (m >= 0) {
+        dm[di] = m;
+        gm[m] = di;
+      }
+    }
+  }
+}
+
+// Gt2YoloTarget scatter for one level (transform.py:1348-1419 semantics,
+// NHWC layout [B, gh, gw, an, 6+C]).  mask maps slot->global anchor id.
+void gt2yolo_scatter(const float* gt_bbox,   // [B, M, 4] normalized xywh
+                     const int32_t* gt_cls,  // [B, M]
+                     const float* gt_score,  // [B, M]
+                     const int32_t* best,    // [B, M] best global anchor id
+                     int64_t B, int64_t M, const int32_t* mask, int64_t an,
+                     const float* anchors,   // [A, 2] pixel (w, h)
+                     int64_t grid_h, int64_t grid_w, float img_w, float img_h,
+                     int64_t num_ch,         // 6 + num_classes
+                     float* target) {        // [B, gh, gw, an, num_ch]
+  const int64_t stride_b = grid_h * grid_w * an * num_ch;
+  for (int64_t b = 0; b < B; ++b) {
+    for (int64_t m = 0; m < M; ++m) {
+      const float gx = gt_bbox[(b * M + m) * 4 + 0];
+      const float gy = gt_bbox[(b * M + m) * 4 + 1];
+      const float gw = gt_bbox[(b * M + m) * 4 + 2];
+      const float gh = gt_bbox[(b * M + m) * 4 + 3];
+      const float sc = gt_score[b * M + m];
+      if (gw <= 0.f || gh <= 0.f || sc <= 0.f) continue;
+      int64_t slot = -1;
+      for (int64_t s = 0; s < an; ++s)
+        if (mask[s] == best[b * M + m]) slot = s;
+      if (slot < 0) continue;
+      int64_t gi = (int64_t)(gx * grid_w);
+      int64_t gj = (int64_t)(gy * grid_h);
+      gi = std::max<int64_t>(0, std::min<int64_t>(gi, grid_w - 1));
+      gj = std::max<int64_t>(0, std::min<int64_t>(gj, grid_h - 1));
+      const int32_t a = mask[slot];
+      float* cell = target + b * stride_b +
+                    ((gj * grid_w + gi) * an + slot) * num_ch;
+      cell[0] = gx * grid_w - gi;
+      cell[1] = gy * grid_h - gj;
+      cell[2] = std::log(gw * img_w / anchors[a * 2 + 0]);
+      cell[3] = std::log(gh * img_h / anchors[a * 2 + 1]);
+      cell[4] = 2.0f - gw * gh;
+      cell[5] = sc;
+      const int32_t cls = gt_cls[b * M + m];
+      if (cls >= 0 && cls < num_ch - 6) cell[6 + cls] = 1.0f;
+    }
+  }
+}
+
+}  // extern "C"

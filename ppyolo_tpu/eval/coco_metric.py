@@ -61,30 +61,38 @@ def _evaluate_img(dts, gts, area_rng, max_det):
     dts = [dts[i] for i in d_order]
 
     if len(dts) and len(gts):
-        ious = _bbox_iou_xywh(
-            np.array([d["bbox"] for d in dts], np.float64),
-            np.array([g["bbox"] for g in gts], np.float64),
-            np.array([g.get("iscrowd", 0) for g in gts], bool))
+        dtb = np.array([d["bbox"] for d in dts], np.float64)
+        gtb = np.array([g["bbox"] for g in gts], np.float64)
+        crowd = np.array([g.get("iscrowd", 0) for g in gts], bool)
+        from ..native import bbox_iou_xywh as native_iou
+        ious = native_iou(dtb, gtb, crowd)
+        if ious is None:
+            ious = _bbox_iou_xywh(dtb, gtb, crowd)
     else:
         ious = np.zeros((len(dts), len(gts)))
 
     T = len(IOU_THRS)
-    dt_m = np.zeros((T, len(dts)), np.int64) - 1
-    gt_m = np.zeros((T, len(gts)), np.int64) - 1
-    for t, thr in enumerate(IOU_THRS):
-        for di in range(len(dts)):
-            best, m = min(thr, 1 - 1e-10), -1
-            for gi in range(len(gts)):
-                if gt_m[t, gi] >= 0 and not g_ignore[gi]:
-                    continue  # already matched (crowd gt can match many)
-                if m > -1 and not g_ignore[m] and g_ignore[gi]:
-                    break     # moving into ignored gts: keep current match
-                if ious[di, gi] < best:
-                    continue
-                best, m = ious[di, gi], gi
-            if m >= 0:
-                dt_m[t, di] = m
-                gt_m[t, m] = di
+    from ..native import match_greedy as native_match
+    nm = native_match(ious, g_ignore, IOU_THRS) if ious.size else None
+    if nm is not None:
+        dt_m, gt_m = nm
+    else:
+        dt_m = np.zeros((T, len(dts)), np.int64) - 1
+        gt_m = np.zeros((T, len(gts)), np.int64) - 1
+        for t, thr in enumerate(IOU_THRS):
+            for di in range(len(dts)):
+                best, m = min(thr, 1 - 1e-10), -1
+                for gi in range(len(gts)):
+                    if gt_m[t, gi] >= 0 and not g_ignore[gi]:
+                        continue  # already matched (crowd can match many)
+                    if m > -1 and not g_ignore[m] and g_ignore[gi]:
+                        break     # into ignored gts: keep current match
+                    if ious[di, gi] < best:
+                        continue
+                    best, m = ious[di, gi], gi
+                if m >= 0:
+                    dt_m[t, di] = m
+                    gt_m[t, m] = di
     a = np.array([d["area"] for d in dts], np.float64)
     dt_out_rng = (a < area_rng[0]) | (a > area_rng[1])
     dt_ignore = np.zeros((T, len(dts)), bool)

@@ -1,0 +1,105 @@
+"""ctypes binding + on-demand build of the native host library.
+
+Builds native/host_ops.cpp with g++ on first use (cached as
+native/libhost_ops.so); every caller has a pure-numpy fallback, so the
+framework works without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "host_ops.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libhost_ops.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+            if not os.path.exists(_SRC) or not _build():
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _failed = True
+            return None
+        i64, u8p = ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.bbox_iou_xywh.argtypes = [f64p, i64, f64p, i64, u8p, f64p]
+        lib.match_greedy.argtypes = [f64p, i64, i64, u8p, f64p, i64, i64p, i64p]
+        lib.gt2yolo_scatter.argtypes = [
+            f32p, i32p, f32p, i32p, i64, i64, i32p, i64, f32p, i64, i64,
+            ctypes.c_float, ctypes.c_float, i64, f32p]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray,
+                  iscrowd: np.ndarray) -> Optional[np.ndarray]:
+    """Native pairwise xywh IoU with crowd semantics; None if lib missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dt = np.ascontiguousarray(dt, np.float64)
+    gt = np.ascontiguousarray(gt, np.float64)
+    crowd = np.ascontiguousarray(iscrowd, np.uint8)
+    out = np.zeros((len(dt), len(gt)), np.float64)
+    lib.bbox_iou_xywh(_ptr(dt, ctypes.c_double), len(dt),
+                      _ptr(gt, ctypes.c_double), len(gt),
+                      _ptr(crowd, ctypes.c_uint8),
+                      _ptr(out, ctypes.c_double))
+    return out
+
+
+def match_greedy(ious: np.ndarray, g_ignore: np.ndarray,
+                 thrs: np.ndarray):
+    """Native greedy matching; returns (dt_m, gt_m) [nt,nd]/[nt,ng] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nd, ng = ious.shape
+    nt = len(thrs)
+    ious = np.ascontiguousarray(ious, np.float64)
+    gi = np.ascontiguousarray(g_ignore, np.uint8)
+    th = np.ascontiguousarray(thrs, np.float64)
+    dt_m = np.zeros((nt, nd), np.int64)
+    gt_m = np.zeros((nt, ng), np.int64)
+    lib.match_greedy(_ptr(ious, ctypes.c_double), nd, ng,
+                     _ptr(gi, ctypes.c_uint8), _ptr(th, ctypes.c_double), nt,
+                     _ptr(dt_m, ctypes.c_int64), _ptr(gt_m, ctypes.c_int64))
+    return dt_m, gt_m
