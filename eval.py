@@ -20,29 +20,34 @@ def main(type_: str = "eval"):
     p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
     p.add_argument("--use_gpu", type=bool, default=True)
     args = p.parse_args()
-
-    import jax
     from configs import get_config
+
+    return run_eval(get_config(args.config), type_=type_)
+
+
+def run_eval(cfg, *, type_: str = "eval", params=None):
+    import jax
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.checkpoint import load_params_npz
     from ppyolo_tpu.data import CocoJson, category_maps
     from ppyolo_tpu.eval import Detector, coco_eval, COCO_CLSID2CATID
 
-    cfg = get_config(args.config)
     model = PPYOLO.from_config(cfg)
-    params = model.init(jax.random.PRNGKey(0))
-    model_path = cfg.eval_cfg.get("model_path")
-    if model_path and os.path.exists(model_path):
-        if model_path.endswith(".pt"):
-            from ppyolo_tpu.checkpoint import (load_torch_state_dict,
-                                               convert_torch_state_dict)
-            params = convert_torch_state_dict(
-                load_torch_state_dict(model_path), params)
+    if params is None:
+        params = model.init(jax.random.PRNGKey(0))
+        model_path = cfg.eval_cfg.get("model_path")
+        if model_path and os.path.exists(model_path):
+            if model_path.endswith(".pt"):
+                from ppyolo_tpu.checkpoint import (load_torch_state_dict,
+                                                   convert_torch_state_dict)
+                params = convert_torch_state_dict(
+                    load_torch_state_dict(model_path), params)
+            else:
+                params = load_params_npz(model_path, params)
+            logger.info("loaded %s", model_path)
         else:
-            params = load_params_npz(model_path, params)
-        logger.info("loaded %s", model_path)
-    else:
-        logger.warning("model file %s missing - using random init", model_path)
+            logger.warning("model file %s missing - using random init",
+                           model_path)
 
     anno_path = cfg.test_path if type_ == "test_dev" else cfg.val_path
     pre_path = cfg.test_pre_path if type_ == "test_dev" else cfg.val_pre_path
@@ -60,6 +65,7 @@ def main(type_: str = "eval"):
                       clsid2catid=clsid2catid)
     if stats is not None:
         logger.info("box ap: %.4f", float(stats[0]))
+    return stats
 
 
 if __name__ == "__main__":

@@ -1,0 +1,103 @@
+"""End-to-end integration: synthetic COCO dataset -> run_training ->
+checkpoints -> run_eval (mAP pipeline) — exercising the full CLI plumbing the
+way a user would (SURVEY.md §4: the reference's only integration test is
+eval.py against COCO)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from configs import PPYOLO_r18vd_Config
+
+
+def _make_dataset(root, n_images=6, n_classes=3, size=96):
+    import cv2
+
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    images, annos = [], []
+    aid = 1
+    for i in range(n_images):
+        img = rng.randint(40, 200, (size, size, 3)).astype(np.uint8)
+        # draw one bright square object
+        cls = i % n_classes
+        x, y, w, h = 20 + 8 * (i % 3), 20 + 5 * (i % 4), 36, 30
+        color = [(255, 0, 0), (0, 255, 0), (0, 0, 255)][cls]
+        img[y:y + h, x:x + w] = color
+        fname = f"im{i}.jpg"
+        cv2.imwrite(os.path.join(img_dir, fname), img)
+        images.append({"id": i + 1, "file_name": fname,
+                       "width": size, "height": size})
+        annos.append({"id": aid, "image_id": i + 1, "category_id": cls + 1,
+                      "bbox": [float(x), float(y), float(w), float(h)],
+                      "area": float(w * h), "iscrowd": 0})
+        aid += 1
+    anno = {"images": images, "annotations": annos,
+            "categories": [{"id": c + 1, "name": f"c{c}"}
+                           for c in range(n_classes)]}
+    anno_path = os.path.join(root, "train.json")
+    with open(anno_path, "w") as f:
+        json.dump(anno, f)
+    return anno_path, img_dir + "/"
+
+
+class ItCfg(PPYOLO_r18vd_Config):
+    def __init__(self, anno_path, img_dir, tmp):
+        super().__init__()
+        self.num_classes = 3
+        self.head = dict(self.head, num_classes=3, drop_block=False)
+        self.gt2YoloTarget = dict(self.gt2YoloTarget, num_classes=3)
+        self.train_path = anno_path
+        self.val_path = anno_path
+        self.train_pre_path = img_dir
+        self.val_pre_path = img_dir
+        self.train_cfg = dict(
+            self.train_cfg, batch_size=2, max_iters=4, save_iter=2,
+            eval_iter=10**9, model_path=os.path.join(tmp, "nonexistent.npz"),
+            mixup_epoch=0)
+        self.eval_cfg = dict(self.eval_cfg, target_size=96, eval_batch_size=2,
+                             model_path=os.path.join(tmp, "nonexistent.npz"))
+        self.randomShape = dict(sizes=[96], random_inter=True)
+        self.learningRate = dict(self.learningRate, base_lr=1e-4)
+        self.use_ema = True
+
+
+def test_training_and_eval_pipeline(tmp_path):
+    anno_path, img_dir = _make_dataset(str(tmp_path))
+    cfg = ItCfg(anno_path, img_dir, str(tmp_path))
+    wdir = str(tmp_path / "weights")
+
+    from train import run_training
+    state = run_training(cfg, ndev=1, weights_dir=wdir)
+    assert state is not None and int(np.asarray(state.step)) == 4
+    ckpts = sorted(os.listdir(wdir))
+    assert "step00000002.npz" in ckpts and "step00000004.npz" in ckpts
+    assert "last_state.npz" in ckpts
+
+    # eval with the trained params through the full COCO pipeline
+    from eval import run_eval
+    os.chdir(tmp_path)  # shard dirs land under cwd
+    from ppyolo_tpu.ops.module import flatten_tree
+    stats = run_eval(cfg, params=state.params)
+    assert stats is not None and len(stats) == 12
+    # random-ish model on 6 images: AP in [0, 1], finite
+    assert -1.0 <= float(stats[0]) <= 1.0
+    merged = os.path.join("eval_results", "bbox_detections.json")
+    assert os.path.exists(merged)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=4)
+    cfg = ItCfg(anno_path, img_dir, str(tmp_path))
+    wdir = str(tmp_path / "weights")
+    from train import run_training
+    run_training(cfg, ndev=1, weights_dir=wdir)
+
+    # resume: point model_path at the saved step checkpoint
+    cfg2 = ItCfg(anno_path, img_dir, str(tmp_path))
+    cfg2.train_cfg = dict(cfg2.train_cfg, max_iters=6,
+                          model_path=os.path.join(wdir, "step00000004.npz"))
+    state = run_training(cfg2, ndev=1, weights_dir=wdir)
+    assert int(np.asarray(state.step)) == 6

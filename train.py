@@ -35,10 +35,14 @@ def main():
     p.add_argument("--ndev", type=int, default=0,
                    help="devices for data-parallel training (0 = all)")
     args = p.parse_args()
+    from configs import get_config
 
+    run_training(get_config(args.config), ndev=args.ndev)
+
+
+def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     import jax
     import jax.numpy as jnp
-    from configs import get_config
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.train import make_train_step, init_train_state
     from ppyolo_tpu.checkpoint import (load_params_npz, save_params_npz,
@@ -51,7 +55,6 @@ def main():
                                      put_replicated, put_batch)
     from ppyolo_tpu.eval import Detector, coco_eval
 
-    cfg = get_config(args.config)
     tc = cfg.train_cfg
 
     model = PPYOLO.from_config(cfg)
@@ -76,7 +79,7 @@ def main():
     state = init_train_state(model, params, cfg)
     state = state._replace(step=jnp.asarray(start_iter, jnp.int32))
 
-    ndev = args.ndev or len(jax.devices())
+    ndev = ndev or len(jax.devices())
     use_mesh = ndev > 1
     if use_mesh:
         mesh = make_mesh(ndev)
@@ -98,7 +101,7 @@ def main():
         train_batches(records, cfg, seed=0, start_iter=start_iter),
         max_batch=tc.get("max_batch", 3))
 
-    os.makedirs("./weights", exist_ok=True)
+    os.makedirs(weights_dir, exist_ok=True)
     best_ap = -1.0
     time_q = deque(maxlen=20)
     rng = jax.random.PRNGKey(1)
@@ -129,10 +132,10 @@ def main():
 
         if it % tc["save_iter"] == 0:
             eval_params = state.ema if state.ema is not None else state.params
-            save_params_npz(f"./weights/step{it:08d}.npz", eval_params)
-            save_train_state("./weights/last_state.npz", state)
-            gc_checkpoints("./weights", keep=10)
-            logger.info("saved ./weights/step%08d.npz", it)
+            save_params_npz(os.path.join(weights_dir, f"step{it:08d}.npz"), eval_params)
+            save_train_state(os.path.join(weights_dir, "last_state.npz"), state)
+            gc_checkpoints(weights_dir, keep=10)
+            logger.info("saved %s/step%08d.npz", weights_dir, it)
 
         if it % tc["eval_iter"] == 0 and os.path.exists(cfg.val_path):
             eval_params = state.ema if state.ema is not None else state.params
@@ -147,11 +150,11 @@ def main():
             logger.info("box ap: %.4f (best %.4f)", ap, best_ap)
             if ap > best_ap:
                 best_ap = ap
-                save_params_npz("./weights/best_model.npz", eval_params)
+                save_params_npz(os.path.join(weights_dir, "best_model.npz"), eval_params)
 
         if it >= tc["max_iters"]:
             logger.info("done at iter %d", it)
-            break
+            return state
 
 
 if __name__ == "__main__":
