@@ -1,0 +1,78 @@
+"""Overfit-to-detect: the strongest end-to-end correctness check.
+
+Train r18vd from scratch on ONE synthetic image and require the resulting
+detector to localize the object (IoU > 0.5, right class, confident score)
+through the full on-device decode + Matrix-NMS path.  Validates the entire
+loss -> grads -> SGD -> EMA-off -> decode chain jointly.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from configs import PPYOLO_r18vd_Config
+from ppyolo_tpu.models import PPYOLO
+from ppyolo_tpu.train import make_train_step, init_train_state
+from ppyolo_tpu.data.targets import gt2yolo_targets
+from ppyolo_tpu.ops.module import Ctx
+
+
+class OverfitCfg(PPYOLO_r18vd_Config):
+    def __init__(self):
+        super().__init__()
+        self.num_classes = 2
+        self.head = dict(self.head, num_classes=2, drop_block=False)
+        self.backbone = dict(self.backbone, freeze_at=0)
+        self.gt2YoloTarget = dict(self.gt2YoloTarget, num_classes=2)
+        self.learningRate = dict(
+            base_lr=2e-3,
+            PiecewiseDecay=dict(gamma=0.1, milestones=[10 ** 9]),
+            LinearWarmup=dict(start_factor=0.0, steps=50))
+        self.use_ema = False
+
+
+def test_overfit_single_image_detects():
+    cfg = OverfitCfg()
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    step = jax.jit(make_train_step(model, cfg))
+
+    size = 96
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, size, size, 3).astype(np.float32) * 0.2
+    x0g, y0g, x1g, y1g = 20, 30, 56, 60
+    img[0, y0g:y1g, x0g:x1g, :] = 1.0
+    gt_bbox = np.zeros((1, 50, 4), np.float32)
+    gt_bbox[0, 0] = [(x0g + x1g) / 2 / size, (y0g + y1g) / 2 / size,
+                     (x1g - x0g) / size, (y1g - y0g) / size]
+    gt_class = np.zeros((1, 50), np.int64)
+    gt_class[0, 0] = 1
+    gt_score = np.zeros((1, 50), np.float32)
+    gt_score[0, 0] = 1
+    targets = gt2yolo_targets(gt_bbox, gt_class, gt_score, (size, size),
+                              cfg.head["anchors"], cfg.head["anchor_masks"],
+                              cfg.head["downsample"], 2)
+    batch = {"image": jnp.asarray(img), "gt_bbox": jnp.asarray(gt_bbox),
+             "targets": tuple(jnp.asarray(t) for t in targets)}
+
+    first = None
+    for i in range(400):
+        state, losses = step(state, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(losses["total_loss"])
+    final = float(losses["total_loss"])
+    assert final < first / 10, (first, final)
+
+    pred = model.predict(state.params, jnp.asarray(img),
+                         jnp.asarray([[size, size]], np.float32),
+                         Ctx(train=False))
+    top = np.asarray(pred)[0][0]
+    label, score, x0, y0, x1, y1 = top
+    assert label == 1.0
+    assert score > 0.5
+    ix = max(0.0, min(x1, x1g) - max(x0, x0g))
+    iy = max(0.0, min(y1, y1g) - max(y0, y0g))
+    inter = ix * iy
+    union = (x1 - x0) * (y1 - y0) + (x1g - x0g) * (y1g - y0g) - inter
+    assert inter / union > 0.5, top
