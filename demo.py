@@ -27,6 +27,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
     p.add_argument("--use_gpu", type=bool, default=True)
+    p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16"],
+                   help="bf16 = ~2x faster inference (fp32 decode/NMS kept)")
     p.add_argument("--image_dir", type=str, default="images/test")
     p.add_argument("--out_dir", type=str, default="images/res")
     args = p.parse_args()
@@ -57,7 +59,8 @@ def main():
     class_names = (get_classes(cfg.classes_path)
                    if os.path.exists(cfg.classes_path)
                    else [str(i) for i in range(cfg.num_classes)])
-    det = Detector(model, params, cfg, target_size=cfg.test_cfg["target_size"])
+    det = Detector(model, params, cfg, target_size=cfg.test_cfg["target_size"],
+                   precision=args.precision)
 
     paths = sorted(glob.glob(os.path.join(args.image_dir, "*")))
     paths = [p for p in paths if p.lower().endswith((".jpg", ".jpeg", ".png"))]

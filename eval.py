@@ -19,13 +19,16 @@ def main(type_: str = "eval"):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
     p.add_argument("--use_gpu", type=bool, default=True)
+    p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16"],
+                   help="bf16 = ~2x faster inference (fp32 decode/NMS kept)")
     args = p.parse_args()
     from configs import get_config
 
-    return run_eval(get_config(args.config), type_=type_)
+    return run_eval(get_config(args.config), type_=type_,
+                    precision=args.precision)
 
 
-def run_eval(cfg, *, type_: str = "eval", params=None):
+def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32"):
     import jax
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.checkpoint import load_params_npz
@@ -59,7 +62,8 @@ def run_eval(cfg, *, type_: str = "eval", params=None):
     if type_ == "eval":  # keep only images with gt (reference eval.py:66-72)
         images = [im for im in images if coco.img_anns.get(im["id"])]
 
-    det = Detector(model, params, cfg, target_size=cfg.eval_cfg["target_size"])
+    det = Detector(model, params, cfg, target_size=cfg.eval_cfg["target_size"],
+                   precision=precision)
     stats = coco_eval(det, images, pre_path, anno_path,
                       cfg.eval_cfg["eval_batch_size"], type_=type_,
                       clsid2catid=clsid2catid)

@@ -27,7 +27,7 @@ class Detector:
 
     def __init__(self, model, params, cfg, *, target_size: Optional[int] = None,
                  compute_dtype=jnp.float32, precision: str = "fp32",
-                 fold_bn: bool = False):
+                 fold_bn: bool = True):
         from .optimize import optimize_for_inference
 
         self.model = model
