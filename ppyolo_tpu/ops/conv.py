@@ -43,14 +43,20 @@ def apply_act(x, act: Optional[str]):
 
 
 def conv2d(x, w, *, stride: int = 1, padding: int = 0, bias=None):
-    """Plain NHWC/HWIO conv with symmetric padding."""
+    """Plain NHWC/HWIO conv with symmetric padding.
+
+    For bf16 operands the MXU accumulates in fp32 natively; requesting
+    ``preferred_element_type=f32`` there would break the transpose (weight
+    gradient) rule with mixed dtypes, so it is only set for fp32 inputs.
+    """
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias

@@ -111,10 +111,11 @@ def deform_conv2d(
 
     # --- contraction: one big MXU matmul ------------------------------------
     # val tap-major (kh,kw) then channel — matches HWIO flatten order.
-    lhs = val.reshape(N * oH * oW, k2 * C)
+    lhs = val.astype(x.dtype).reshape(N * oH * oW, k2 * C)
     rhs = weight.reshape(k2 * C, out_c)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     out = lax.dot_general(
-        lhs, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        lhs, rhs, (((1,), (0,)), ((), ())), preferred_element_type=pet
     ).astype(x.dtype)
     out = out.reshape(N, oH, oW, out_c)
     if bias is not None:

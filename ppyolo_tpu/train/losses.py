@@ -160,6 +160,9 @@ class YOLOv3Loss:
                  gt_box: jax.Array, mask_anchors: List[List[float]],
                  num_classes: int) -> Dict[str, jax.Array]:
         assert len(outputs) == len(targets)
+        # loss math always in fp32 (mixed-precision training keeps the
+        # forward in bf16; the decode-heavy loss epilogue must not)
+        outputs = [o.astype(jnp.float32) for o in outputs]
         losses = {k: 0.0 for k in ("loss_xy", "loss_wh", "loss_obj", "loss_cls")}
         if self.iou_loss is not None:
             losses["loss_iou"] = 0.0

@@ -68,7 +68,18 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
     mask_anchors = model.head.mask_anchors
 
     def loss_fn(trainable_flat, frozen_flat, batch, rng):
-        params = unflatten_tree({**trainable_flat, **frozen_flat})
+        merged = {**trainable_flat, **frozen_flat}
+        if compute_dtype != jnp.float32:
+            # mixed precision: bf16 forward against fp32 master weights;
+            # grads flow through the cast and arrive fp32.  BN running stats
+            # stay fp32 — train mode normalizes with (fp32) batch stats and
+            # the running-average update must not round through bf16.
+            merged = {k: (v.astype(compute_dtype)
+                          if v.dtype == jnp.float32
+                          and not k.endswith(("running_mean", "running_var"))
+                          else v)
+                      for k, v in merged.items()}
+        params = unflatten_tree(merged)
         updates: Dict[str, jax.Array] = {}
         ctx = Ctx(train=True, rng=rng, updates=updates, axis_name=axis_name)
         images = batch["image"].astype(compute_dtype)
@@ -103,6 +114,34 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
         return new_state, losses
 
     return step_fn
+
+
+def make_multi_train_step(model, cfg, *, n_steps: int,
+                          axis_name: Optional[str] = None,
+                          compute_dtype=jnp.float32):
+    """Scan ``n_steps`` train steps inside ONE XLA program.
+
+    The host dispatches once per n_steps batches, so per-call dispatch
+    latency (meaningful on remote/tunneled TPU runtimes) amortizes away and
+    XLA can overlap the tail of one step with the head of the next.
+
+    Returns ``fn(state, batches, rng) -> (state, stacked_losses)`` where
+    every leaf of ``batches`` has a leading ``n_steps`` axis.
+    """
+    step = make_train_step(model, cfg, axis_name=axis_name,
+                           compute_dtype=compute_dtype)
+
+    def multi(state: TrainState, batches, rng):
+        keys = jax.random.split(rng, n_steps)
+
+        def body(carry, xs):
+            batch, key = xs
+            new_state, losses = step(carry, batch, key)
+            return new_state, losses
+
+        return lax.scan(body, state, (batches, keys))
+
+    return multi
 
 
 def init_train_state(model, params, cfg) -> TrainState:

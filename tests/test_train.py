@@ -147,6 +147,55 @@ def test_train_step_overfits_tiny_batch():
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
 
 
+def test_multi_train_step_matches_sequential():
+    """lax.scan'ed K-step trainer == K sequential jitted steps."""
+    from ppyolo_tpu.train.train_step import make_multi_train_step
+
+    cfg = TinyCfg(norm="bn")
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    K = 3
+    batch = make_batch(2)
+    batches = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), batch)
+    rng = jax.random.PRNGKey(7)
+
+    state_a = init_train_state(model, params, cfg)
+    step = jax.jit(make_train_step(model, cfg))
+    keys = jax.random.split(rng, K)
+    for i in range(K):
+        state_a, losses_a = step(state_a, batch, keys[i])
+
+    state_b = init_train_state(model, params, cfg)
+    multi = jax.jit(make_multi_train_step(model, cfg, n_steps=K))
+    state_b, losses_b = multi(state_b, batches, rng)
+
+    np.testing.assert_allclose(float(losses_a["total_loss"]),
+                               float(losses_b["total_loss"][-1]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_bf16_train_step_runs_and_learns():
+    cfg = TinyCfg(norm="bn")
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    step = jax.jit(make_train_step(model, cfg, compute_dtype=jnp.bfloat16))
+    batch = make_batch(2)
+    first = None
+    for i in range(6):
+        state, losses = step(state, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(losses["total_loss"])
+    assert np.isfinite(float(losses["total_loss"]))
+    assert float(losses["total_loss"]) < first
+    # master params stayed fp32
+    assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_multichip_step_matches_single():
     cfg = TinyCfg(norm="sync_bn", drop_block=False)

@@ -81,14 +81,17 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
 
     ndev = ndev or len(jax.devices())
     use_mesh = ndev > 1
+    compute_dtype = (jnp.bfloat16 if tc.get("precision") == "bf16"
+                     else jnp.float32)
     if use_mesh:
         mesh = make_mesh(ndev)
         step_fn = shard_train_step(
-            make_train_step(model, cfg, axis_name="data"), mesh)
+            make_train_step(model, cfg, axis_name="data",
+                            compute_dtype=compute_dtype), mesh)
         state = put_replicated(state, mesh)
         logger.info("data-parallel over %d devices", ndev)
     else:
-        step_fn = jax.jit(make_train_step(model, cfg))
+        step_fn = jax.jit(make_train_step(model, cfg, compute_dtype=compute_dtype))
 
     # dataset
     coco = CocoJson(cfg.train_path)
