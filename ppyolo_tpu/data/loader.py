@@ -74,10 +74,15 @@ def assemble_batch(samples: List[dict], cfg, rng: np.random.RandomState,
 
 
 def train_batches(records: List[dict], cfg, *, seed: int = 0,
-                  start_iter: int = 0, fixed_shape: Optional[int] = None
-                  ) -> Iterator[Dict[str, Any]]:
+                  start_iter: int = 0, fixed_shape: Optional[int] = None,
+                  shape_group: int = 1) -> Iterator[Dict[str, Any]]:
     """Infinite shuffled batch stream (reference read_train_data,
-    train.py:63-152), single-process version."""
+    train.py:63-152), single-process version.
+
+    shape_group > 1 keeps the random input size constant for that many
+    consecutive batches so a lax.scan'ed multi-step trainer sees one shape
+    per dispatch group.
+    """
     rng = np.random.RandomState(seed)
     tc = cfg.train_cfg
     batch_size = tc["batch_size"]
@@ -91,16 +96,25 @@ def train_batches(records: List[dict], cfg, *, seed: int = 0,
 
     iter_id = start_iter
     indexes = np.arange(n)
+    group_shape: Optional[int] = None
     while True:
         rng.shuffle(indexes)
         for step in range(steps_per_epoch):
             iter_id += 1
+            if fixed_shape is not None:
+                shape = fixed_shape
+            elif shape_group > 1:
+                if group_shape is None or (iter_id - 1) % shape_group == 0:
+                    group_shape = int(rng.choice(cfg.randomShape["sizes"]))
+                shape = group_shape
+            else:
+                shape = None
             samples = get_samples(records, indexes, step, batch_size, iter_id,
                                   with_mixup, with_cutmix, mixup_steps,
                                   cutmix_steps, rng)
             samples = [apply_sample_transforms(s, sample_ops, rng)
                        for s in samples]
-            yield assemble_batch(samples, cfg, rng, fixed_shape=fixed_shape)
+            yield assemble_batch(samples, cfg, rng, fixed_shape=shape)
 
 
 class Prefetcher:

@@ -34,10 +34,19 @@ def main():
     p.add_argument("--use_gpu", type=bool, default=True)
     p.add_argument("--ndev", type=int, default=0,
                    help="devices for data-parallel training (0 = all)")
+    p.add_argument("--precision", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="bf16 = mixed-precision forward (fp32 masters)")
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help=">1 fuses that many train steps into one lax.scan "
+                        "dispatch (amortizes host dispatch latency)")
     args = p.parse_args()
     from configs import get_config
 
-    run_training(get_config(args.config), ndev=args.ndev)
+    cfg = get_config(args.config)
+    cfg.train_cfg["precision"] = args.precision
+    cfg.train_cfg["scan_steps"] = args.scan_steps
+    run_training(cfg, ndev=args.ndev)
 
 
 def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
@@ -45,6 +54,7 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     import jax.numpy as jnp
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.train import make_train_step, init_train_state
+    from ppyolo_tpu.train.train_step import make_multi_train_step
     from ppyolo_tpu.checkpoint import (load_params_npz, save_params_npz,
                                        save_train_state, load_train_state,
                                        resume_step_from_filename,
@@ -92,6 +102,12 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         logger.info("data-parallel over %d devices", ndev)
     else:
         step_fn = jax.jit(make_train_step(model, cfg, compute_dtype=compute_dtype))
+    scan_steps = int(tc.get("scan_steps", 1))
+    if scan_steps > 1 and not use_mesh:
+        multi_fn = jax.jit(make_multi_train_step(
+            model, cfg, n_steps=scan_steps, compute_dtype=compute_dtype))
+    else:
+        scan_steps = 1
 
     # dataset
     coco = CocoJson(cfg.train_path)
@@ -101,46 +117,61 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     logger.info("%d samples in train set.", len(records))
 
     batches = Prefetcher(
-        train_batches(records, cfg, seed=0, start_iter=start_iter),
-        max_batch=tc.get("max_batch", 3))
+        train_batches(records, cfg, seed=0, start_iter=start_iter,
+                      shape_group=scan_steps),
+        max_batch=max(tc.get("max_batch", 3), scan_steps))
 
     os.makedirs(weights_dir, exist_ok=True)
     best_ap = -1.0
     time_q = deque(maxlen=20)
     rng = jax.random.PRNGKey(1)
 
-    for batch in batches:
-        t0 = time.time()
-        it = int(state.step) if not use_mesh else int(np.asarray(state.step))
-        rng, sub = jax.random.split(rng)
-        device_batch = {k: v for k, v in batch.items() if k != "shape"}
-        device_batch = {
-            "image": device_batch["image"],
-            "gt_bbox": device_batch["gt_bbox"],
-            "targets": device_batch["targets"],
+    def to_device_batch(batch):
+        return {
+            "image": batch["image"],
+            "gt_bbox": batch["gt_bbox"],
+            "targets": batch["targets"],
         }
-        if use_mesh:
-            device_batch = put_batch(device_batch, mesh)
-        state, losses = step_fn(state, device_batch, sub)
-        it += 1
 
-        if it % 20 == 0:
-            jax.block_until_ready(losses)
+    batch_iter = iter(batches)
+    while True:
+        t0 = time.time()
+        it = int(np.asarray(state.step))
+        rng, sub = jax.random.split(rng)
+        if scan_steps > 1:
+            group = [to_device_batch(next(batch_iter))
+                     for _ in range(scan_steps)]
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+            state, losses = multi_fn(state, stacked, sub)
+            losses = {k: v[-1] for k, v in losses.items()}
+            nimg = sum(g["image"].shape[0] for g in group)
+        else:
+            batch = next(batch_iter)
+            device_batch = to_device_batch(batch)
+            if use_mesh:
+                device_batch = put_batch(device_batch, mesh)
+            state, losses = step_fn(state, device_batch, sub)
+            nimg = batch["image"].shape[0]
+        it += scan_steps
+
+        if it % 20 < scan_steps:
+            losses = {k: float(np.asarray(v)) for k, v in losses.items()}
             time_q.append(time.time() - t0)
-            spd = batch["image"].shape[0] / (sum(time_q) / len(time_q))
+            spd = nimg / (sum(time_q) / len(time_q))
             msg = ", ".join(f"{k}={float(v):.3f}" for k, v in losses.items())
-            eta_s = (tc["max_iters"] - it) * (sum(time_q) / len(time_q))
+            eta_s = (tc["max_iters"] - it) * (sum(time_q) / len(time_q)) / scan_steps
             logger.info("iter %d, %s, %.1f imgs/s, eta %.1fh",
                         it, msg, spd, eta_s / 3600)
 
-        if it % tc["save_iter"] == 0:
+        if it % tc["save_iter"] < scan_steps and it >= tc["save_iter"]:
             eval_params = state.ema if state.ema is not None else state.params
             save_params_npz(os.path.join(weights_dir, f"step{it:08d}.npz"), eval_params)
             save_train_state(os.path.join(weights_dir, "last_state.npz"), state)
             gc_checkpoints(weights_dir, keep=10)
             logger.info("saved %s/step%08d.npz", weights_dir, it)
 
-        if it % tc["eval_iter"] == 0 and os.path.exists(cfg.val_path):
+        if (it % tc["eval_iter"] < scan_steps and it >= tc["eval_iter"]
+                and os.path.exists(cfg.val_path)):
             eval_params = state.ema if state.ema is not None else state.params
             det = Detector(model, eval_params, cfg,
                            target_size=cfg.eval_cfg["target_size"])
