@@ -30,6 +30,39 @@ def _wh_iou(gw, gh, aw, ah):
     return inter / np.maximum(union, 1e-12)
 
 
+def _gt2yolo_native(gt_bbox, gt_class, gt_score, best_idx, valid, anchors,
+                    anchor_masks, downsample_ratios, im_hw, num_classes):
+    """C++ scatter path; returns None when the lib is unavailable."""
+    import ctypes
+    from ..native import get_lib, _ptr
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = im_hw
+    b, m = gt_class.shape
+    bbox = np.ascontiguousarray(gt_bbox, np.float32)
+    cls = np.ascontiguousarray(gt_class, np.int32)
+    score = np.ascontiguousarray(np.where(valid, gt_score, 0.0), np.float32)
+    best = np.ascontiguousarray(best_idx, np.int32)
+    anc = np.ascontiguousarray(anchors, np.float32)
+    out = []
+    for mask, ds in zip(anchor_masks, downsample_ratios):
+        gh, gw = int(h // ds), int(w // ds)
+        an = len(mask)
+        target = np.zeros((b, gh, gw, an, 6 + num_classes), np.float32)
+        mask_arr = np.ascontiguousarray(mask, np.int32)
+        lib.gt2yolo_scatter(
+            _ptr(bbox, ctypes.c_float), _ptr(cls, ctypes.c_int32),
+            _ptr(score, ctypes.c_float), _ptr(best, ctypes.c_int32),
+            b, m, _ptr(mask_arr, ctypes.c_int32), an,
+            _ptr(anc, ctypes.c_float), gh, gw,
+            ctypes.c_float(float(w)), ctypes.c_float(float(h)),
+            6 + num_classes, _ptr(target, ctypes.c_float))
+        out.append(target)
+    return out
+
+
 def gt2yolo_targets(
     gt_bbox: np.ndarray,      # [B, M, 4] normalized xywh (cx, cy, w, h)
     gt_class: np.ndarray,     # [B, M] int
@@ -40,8 +73,14 @@ def gt2yolo_targets(
     downsample_ratios: Sequence[int],
     num_classes: int,
     iou_thresh: float = 1.0,
+    use_native: bool = True,
 ) -> List[np.ndarray]:
-    """Returns per-level float32 targets [B, gh, gw, an, 6+C]."""
+    """Returns per-level float32 targets [B, gh, gw, an, 6+C].
+
+    When the C++ host library is built and iou_thresh==1 (every PPYOLO
+    recipe), the scatter runs natively (ppyolo_tpu/native.py); the numpy
+    path is the always-available fallback and the parity oracle.
+    """
     h, w = im_hw
     anchors = np.asarray(anchors, np.float32)                # [A, 2]
     an_hw = anchors / np.array([[w, h]], np.float32)         # normalized
@@ -55,6 +94,13 @@ def gt2yolo_targets(
     ious = _wh_iou(gw[..., None], gh_[..., None],
                    an_hw[None, None, :, 0], an_hw[None, None, :, 1])  # [B,M,A]
     best_idx = np.argmax(ious, axis=-1)                      # [B, M]
+
+    if use_native and iou_thresh >= 1.0:
+        native_out = _gt2yolo_native(gt_bbox, gt_class, gt_score, best_idx,
+                                     valid, anchors, anchor_masks,
+                                     downsample_ratios, (h, w), num_classes)
+        if native_out is not None:
+            return native_out
 
     out = []
     bidx, midx = np.meshgrid(np.arange(b), np.arange(m), indexing="ij")

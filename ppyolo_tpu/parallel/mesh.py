@@ -58,6 +58,25 @@ def shard_train_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.jit(mapped)
 
 
+def make_sharded_predict(model, mesh: Mesh, axis: str = DATA_AXIS):
+    """Data-parallel batched inference: batch sharded over ``axis``, params
+    replicated, the whole decode+NMS pipeline partitioned by XLA (no
+    collectives needed — detection is embarrassingly batch-parallel).
+
+    Returns jitted ``fn(params, images, im_size) -> [B, keep_top_k, 6]``
+    with B divisible by the mesh size.
+    """
+    from ..ops.module import Ctx
+
+    def predict(params, images, im_size):
+        return model.predict(params, images, im_size, Ctx(train=False))
+
+    batch = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(predict, in_shardings=(rep, batch, batch),
+                   out_shardings=batch)
+
+
 def put_replicated(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 

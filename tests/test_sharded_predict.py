@@ -1,0 +1,32 @@
+"""Data-parallel inference over the 8-virtual-device mesh == single-device."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppyolo_tpu.models import PPYOLO
+from ppyolo_tpu.ops.module import Ctx
+from ppyolo_tpu.parallel import make_mesh, make_sharded_predict
+from configs import PPYOLO_r18vd_Config
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_predict_matches_single():
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 5
+    cfg.head = dict(cfg.head, num_classes=5)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    r = np.random.RandomState(0)
+    images = jnp.asarray(r.rand(8, 128, 128, 3), jnp.float32)
+    im_size = jnp.asarray(np.tile([[128.0, 128.0]], (8, 1)), jnp.float32)
+
+    ref = np.asarray(model.predict(params, images, im_size, Ctx(train=False)))
+
+    mesh = make_mesh(8)
+    fn = make_sharded_predict(model, mesh)
+    got = np.asarray(fn(params, images, im_size))
+    # partitioned compilation reorders fusions; box coords may differ at the
+    # 4e-4 level through exp() on random weights — labels/scores must agree
+    np.testing.assert_allclose(got[..., :2], ref[..., :2], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got[..., 2:], ref[..., 2:], rtol=5e-3, atol=5e-2)

@@ -83,3 +83,26 @@ def test_targets_tscale_and_values():
     assert np.isclose(cell[4], 2.0 - aw * ah)
     assert cell[5] == 1.0 and cell[6 + 2] == 1.0
     assert t[1].sum() == 0      # nothing lands on level 1
+
+
+def test_native_scatter_matches_numpy():
+    from ppyolo_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(3)
+    b, m, c = 4, 20, 9
+    h = w = 128
+    gt_bbox = np.zeros((b, m, 4), np.float32)
+    gt_bbox[..., 0:2] = rng.uniform(0.05, 0.95, (b, m, 2))
+    gt_bbox[..., 2:4] = rng.uniform(0.01, 0.7, (b, m, 2))
+    gt_bbox[:, 15:] = 0
+    gt_class = rng.randint(0, c, (b, m))
+    gt_score = np.ones((b, m), np.float32)
+    gt_score[:, 15:] = 0
+    a = gt2yolo_targets(gt_bbox, gt_class, gt_score, (h, w), ANCHORS, MASKS,
+                        DS, c, use_native=True)
+    ref = gt2yolo_targets(gt_bbox, gt_class, gt_score, (h, w), ANCHORS, MASKS,
+                          DS, c, use_native=False)
+    for x, y in zip(a, ref):
+        np.testing.assert_allclose(x, y, atol=1e-6)
