@@ -71,4 +71,4 @@ def test_ema_warmup_rule():
     # early: decay=1/10 -> shadow tracks params fast (0.1*0 + 0.9*1)
     np.testing.assert_allclose(np.asarray(s0["w"]), 0.9, rtol=1e-6)
     s_late = ema_update(shadow, p, 10 ** 6, 0.9998)
-    np.testing.assert_allclose(np.asarray(s_late["w"]), 0.0002, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_late["w"]), 0.0002, rtol=2e-4)
