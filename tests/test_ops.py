@@ -277,3 +277,23 @@ def test_conv_norm_act_cell():
     y2 = cell.apply(params, x, Ctx(train=True, updates=upd))
     assert "c.bn.running_mean" in upd and "c.bn.running_var" in upd
     assert np.isfinite(np.asarray(y2)).all()
+
+
+def test_matrix_nms_two_stage_topk_exact():
+    """Large-A path (two-stage anchor-prefiltered top-k) must equal the flat
+    exact top-k selection, and the full NMS must match the numpy oracle."""
+    rng2 = np.random.RandomState(7)
+    a, c = 3000, 20
+    scores = (rng2.rand(a, c).astype(np.float32) ** 6)
+    boxes = np.abs(rng2.rand(a, 4).astype(np.float32)) * 100
+    boxes[:, 2:] = boxes[:, :2] + 5 + 20 * rng2.rand(a, 2).astype(np.float32)
+    cfg = dict(score_threshold=0.1, post_threshold=0.1, nms_top_k=500,
+               keep_top_k=100, use_gaussian=False, gaussian_sigma=2.0,
+               nms_type="matrix_nms")
+    out = np.asarray(matrix_nms(jnp.array(boxes[None]),
+                                jnp.array(scores[None]), cfg))[0]
+    ref = _numpy_matrix_nms(boxes, scores, cfg)
+    got = out[out[:, 0] >= 0]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got[:, 1], ref[:, 1], rtol=1e-4)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
