@@ -13,7 +13,6 @@ demo loop does per image.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
-import sys
 import time
 
 import numpy as np

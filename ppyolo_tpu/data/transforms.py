@@ -15,7 +15,7 @@ exists only for config compatibility.
 from __future__ import annotations
 
 from numbers import Number
-from typing import Dict, List, Optional, Sequence
+
 
 import numpy as np
 

@@ -11,7 +11,7 @@ If pycocotools IS importable, ``cocoapi_eval`` uses it instead.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -7,8 +7,7 @@ target size doing backbone -> head -> IoU-aware fuse -> grid-sensitive decode
 head.py:461-464 / decode_np.py:142-150)."""
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax

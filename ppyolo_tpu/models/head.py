@@ -15,7 +15,7 @@ layer names (``yolo_block.{i}.{j}.0`` ...) for the .pdparams converter.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax

@@ -22,10 +22,9 @@ custom_layers.py:167-241) is produced by ``param_policy()`` as a tree of
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 
 @dataclasses.dataclass

@@ -10,7 +10,6 @@ grads and real cross-replica sync-BN.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -21,7 +20,7 @@ from ..ops.module import Ctx, ParamPolicy, flatten_tree, unflatten_tree, merge_u
 from ..ops.ema import ema_update
 from .losses import YOLOv3Loss, IouLoss, IouAwareLoss, total_loss
 from .lr_schedule import make_lr_fn
-from .optimizer import init_momentum, sgd_momentum_update
+from .optimizer import sgd_momentum_update
 
 
 class TrainState(NamedTuple):

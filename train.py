@@ -89,6 +89,14 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     state = init_train_state(model, params, cfg)
     state = state._replace(step=jnp.asarray(start_iter, jnp.int32))
 
+    # full-state resume (params + momentum + EMA + step — the reference can
+    # only resume params, silently losing optimizer state; SURVEY.md §5)
+    resume_state = tc.get("resume_state")
+    if resume_state and os.path.exists(resume_state):
+        state = load_train_state(resume_state, state)
+        logger.info("resumed full train state from %s (step %d)",
+                    resume_state, int(np.asarray(state.step)))
+
     ndev = ndev or len(jax.devices())
     use_mesh = ndev > 1
     compute_dtype = (jnp.bfloat16 if tc.get("precision") == "bf16"
