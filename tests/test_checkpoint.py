@@ -133,3 +133,18 @@ def test_train_state_roundtrip(tmp_path):
         np.asarray(jax.tree.leaves(state.params)[0]),
         np.asarray(jax.tree.leaves(restored.params)[0]))
     assert restored.ema is not None
+
+
+def test_paddle_pickle_loading(tmp_path):
+    """.pdparams fallback reader (pickle of {name: ndarray})."""
+    import pickle
+    from ppyolo_tpu.checkpoint import load_paddle_state_dict
+
+    sd = {"conv1_1_weights": np.zeros((32, 3, 3, 3), np.float32),
+          "bnv1_1_scale": np.ones(32, np.float32)}
+    p = tmp_path / "m.pdparams"
+    with open(p, "wb") as f:
+        pickle.dump(sd, f)
+    out = load_paddle_state_dict(str(p))
+    assert set(out) == set(sd)
+    assert out["conv1_1_weights"].shape == (32, 3, 3, 3)
