@@ -68,4 +68,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # transient axon relay faults: one retry after cooldown
+        time.sleep(30)
+        main()
