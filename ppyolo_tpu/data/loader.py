@@ -75,15 +75,26 @@ def assemble_batch(samples: List[dict], cfg, rng: np.random.RandomState,
 
 def train_batches(records: List[dict], cfg, *, seed: int = 0,
                   start_iter: int = 0, fixed_shape: Optional[int] = None,
-                  shape_group: int = 1) -> Iterator[Dict[str, Any]]:
+                  shape_group: int = 1, num_shards: int = 1,
+                  shard_id: int = 0) -> Iterator[Dict[str, Any]]:
     """Infinite shuffled batch stream (reference read_train_data,
-    train.py:63-152), single-process version.
+    train.py:63-152).
 
     shape_group > 1 keeps the random input size constant for that many
     consecutive batches so a lax.scan'ed multi-step trainer sees one shape
     per dispatch group.
+
+    num_shards/shard_id: multi-host data sharding — each host reads a
+    disjoint slice of the record list (seed identical across hosts so the
+    batch SHAPES stay in lock-step, as multi-host jax requires).
     """
-    rng = np.random.RandomState(seed)
+    if num_shards > 1:
+        records = records[shard_id::num_shards]
+    # augmentation randomness is per-host; the SHAPE stream is a dedicated
+    # RNG consumed exactly once per batch so all hosts stay in shape
+    # lock-step regardless of how many draws the augmentations consume
+    rng = np.random.RandomState(seed + 7919 * shard_id)
+    shape_rng = np.random.RandomState(seed)
     tc = cfg.train_cfg
     batch_size = tc["batch_size"]
     n = len(records)
@@ -104,11 +115,12 @@ def train_batches(records: List[dict], cfg, *, seed: int = 0,
             if fixed_shape is not None:
                 shape = fixed_shape
             elif shape_group > 1:
+                drawn = int(shape_rng.choice(cfg.randomShape["sizes"]))
                 if group_shape is None or (iter_id - 1) % shape_group == 0:
-                    group_shape = int(rng.choice(cfg.randomShape["sizes"]))
+                    group_shape = drawn
                 shape = group_shape
             else:
-                shape = None
+                shape = int(shape_rng.choice(cfg.randomShape["sizes"]))
             samples = get_samples(records, indexes, step, batch_size, iter_id,
                                   with_mixup, with_cutmix, mixup_steps,
                                   cutmix_steps, rng)

@@ -166,3 +166,32 @@ def test_train_batches_stream(tmp_path):
     assert len(b["targets"]) == 2
     b2 = next(pf)
     assert b2["image"].shape[0] == 2
+
+
+def test_multihost_shape_lockstep(tmp_path):
+    """Different data shards must draw IDENTICAL shape sequences (multi-host
+    jax requires lock-step global shapes)."""
+    import cv2
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 6
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=6)
+    cfg.train_cfg = dict(cfg.train_cfg, batch_size=1)
+    recs = []
+    for i in range(8):
+        img = RNG.randint(0, 255, (50, 50, 3)).astype(np.uint8)
+        f = tmp_path / f"m{i}.jpg"
+        cv2.imwrite(str(f), img)
+        recs.append({
+            "im_file": str(f), "im_id": np.array([i]), "h": 50.0, "w": 50.0,
+            "gt_bbox": np.array([[5, 5, 40, 40]], np.float32),
+            "gt_class": np.array([[i % 6]], np.int32),
+            "gt_score": np.ones((1, 1), np.float32),
+            "is_crowd": np.zeros((1, 1), np.int32),
+        })
+    from ppyolo_tpu.data import train_batches
+    it0 = train_batches(recs, cfg, seed=5, num_shards=2, shard_id=0)
+    it1 = train_batches(recs, cfg, seed=5, num_shards=2, shard_id=1)
+    shapes0 = [next(it0)["shape"] for _ in range(6)]
+    shapes1 = [next(it1)["shape"] for _ in range(6)]
+    assert shapes0 == shapes1
+    assert len(set(shapes0)) > 1  # actually random

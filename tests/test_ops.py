@@ -297,3 +297,24 @@ def test_matrix_nms_two_stage_topk_exact():
     assert got.shape == ref.shape
     np.testing.assert_allclose(got[:, 1], ref[:, 1], rtol=1e-4)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("use_gaussian", [False, True])
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_matrix_nms_randomized_oracle(use_gaussian, seed):
+    """Randomized property test of the padded static-shape NMS vs the
+    dynamic-shape oracle (both kernels, several regimes)."""
+    r = np.random.RandomState(seed)
+    a, c = 60, 5
+    boxes = r.rand(a, 4).astype(np.float32) * 80
+    boxes[:, 2:] = boxes[:, :2] + 2 + 30 * r.rand(a, 2).astype(np.float32)
+    scores = (r.rand(a, c).astype(np.float32) ** 3)
+    cfg = dict(score_threshold=0.05, post_threshold=0.08, nms_top_k=40,
+               keep_top_k=25, use_gaussian=use_gaussian, gaussian_sigma=2.0,
+               nms_type="matrix_nms")
+    out = np.asarray(matrix_nms(jnp.array(boxes[None]),
+                                jnp.array(scores[None]), cfg))[0]
+    ref = _numpy_matrix_nms(boxes, scores, cfg)
+    got = out[out[:, 0] >= 0]
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
