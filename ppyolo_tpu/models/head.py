@@ -25,7 +25,7 @@ from ..ops.module import Ctx, Module, next_uid
 from ..ops.conv import ConvNormAct
 from ..ops.blocks import coord_conv, spp, drop_block, upsample_nearest_2x
 from ..ops.yolo_box import yolo_box, iou_aware_score
-from ..ops.matrix_nms import matrix_nms
+from ..ops.matrix_nms import matrix_nms, multiclass_nms
 from .resnet_vd import _Composite
 
 
@@ -272,4 +272,7 @@ class YOLOv3Head(_Composite):
             scores.append(s)
         yolo_boxes = jnp.concatenate(boxes, axis=1)
         yolo_scores = jnp.concatenate(scores, axis=1)
+        # nms_type switch (reference head.py:458-468)
+        if self.nms_cfg.get("nms_type", "matrix_nms") == "multiclass_nms":
+            return multiclass_nms(yolo_boxes, yolo_scores, self.nms_cfg)
         return matrix_nms(yolo_boxes, yolo_scores, self.nms_cfg)

@@ -86,6 +86,59 @@ def _matrix_nms_single(
     )                                                      # [keep_top_k, 6]
 
 
+def _multiclass_nms_single(boxes, scores, *, score_threshold, nms_threshold,
+                           nms_top_k, keep_top_k):
+    """Classic per-class greedy hard-NMS, static shapes.
+
+    Capability slot for the reference's ``nms_type='multiclass_nms'`` branch
+    (head.py:465-468, present but commented out there).  Candidates are the
+    two-stage top-k pairs; suppression is a sequential scan over the sorted
+    candidates (same-class IoU > nms_threshold suppresses), expressed as a
+    fori_loop over the fixed candidate count.
+    """
+    a, c = scores.shape
+    k = min(nms_top_k, a * c)
+    flat = scores.reshape(a * c)
+    masked = jnp.where(flat > score_threshold, flat, 0.0)
+    vals, idx = lax.top_k(masked, k)
+    valid = vals > score_threshold
+    labels = idx % c
+    cand = boxes[idx // c]
+
+    iou = pairwise_iou(cand, cand, eps=1e-9)
+    same = labels[:, None] == labels[None, :]
+    suppress_pair = (iou > nms_threshold) & same            # [k, k]
+
+    def body(i, keep):
+        # candidate i survives iff no kept earlier same-class box overlaps
+        sup = jnp.any(keep & suppress_pair[i] &
+                      (jnp.arange(k) < i))
+        return keep.at[i].set(valid[i] & ~sup)
+
+    keep = lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    final = jnp.where(keep, vals, -1.0)
+    kk = min(keep_top_k, k)
+    out_vals, out_idx = lax.top_k(final, kk)
+    ok = out_vals > 0.0
+    out_boxes = jnp.where(ok[:, None], cand[out_idx], -1.0)
+    out_labels = jnp.where(ok, labels[out_idx].astype(jnp.float32), -1.0)
+    out_scores = jnp.where(ok, out_vals, -1.0)
+    return jnp.concatenate(
+        [out_labels[:, None], out_scores[:, None], out_boxes], axis=-1)
+
+
+def multiclass_nms(boxes, scores, nms_cfg: Dict[str, Any]):
+    """Batched per-class hard NMS -> [B, keep_top_k, 6] (-1 padded)."""
+    fn = functools.partial(
+        _multiclass_nms_single,
+        score_threshold=float(nms_cfg.get("score_threshold", 0.01)),
+        nms_threshold=float(nms_cfg.get("nms_threshold", 0.45)),
+        nms_top_k=int(nms_cfg.get("nms_top_k", 500)),
+        keep_top_k=int(nms_cfg.get("keep_top_k", 100)),
+    )
+    return jax.vmap(fn)(boxes, scores)
+
+
 def matrix_nms(boxes, scores, nms_cfg: Dict[str, Any]):
     """Batched Matrix-NMS.
 

@@ -50,8 +50,12 @@ def test_torch_convert_roundtrip_and_skip():
         np.asarray(flatten_tree(new2)[k]), np.asarray(flatten_tree(params)[k]))
 
 
-def test_paddle_convert_covers_all_convs():
-    cfg = PPYOLO_2x_Config()
+import pytest
+
+
+@pytest.mark.parametrize("cfg_cls", [PPYOLO_2x_Config, PPYOLO_r18vd_Config])
+def test_paddle_convert_covers_all_convs(cfg_cls):
+    cfg = cfg_cls()
     model = PPYOLO.from_config(cfg)
     params = model.init(jax.random.PRNGKey(0))
     rng = np.random.RandomState(5)
@@ -86,13 +90,14 @@ def test_paddle_convert_covers_all_convs():
                   if not np.array_equal(np.asarray(flat_old[k]), np.asarray(flat_new[k])))
     total = len(flat_old)
     assert changed >= total - 1, f"only {changed}/{total} leaves converted"
-    # spot check a DCN leaf mapping (stage5 only: ppyolo_2x.py:99)
-    w = sd["res5a_branch2b_weights"].transpose(2, 3, 1, 0)
-    np.testing.assert_array_equal(
-        np.asarray(flat_new["backbone.stage5_0.conv2.conv.dcn_weight"]), w)
     np.testing.assert_array_equal(
         np.asarray(flat_new["backbone.stage1_conv1_2.bn.running_var"]),
         sd["bnv1_2_variance"])
+    if cfg_cls is PPYOLO_2x_Config:
+        # spot check a DCN leaf mapping (stage5 only: ppyolo_2x.py:99)
+        w = sd["res5a_branch2b_weights"].transpose(2, 3, 1, 0)
+        np.testing.assert_array_equal(
+            np.asarray(flat_new["backbone.stage5_0.conv2.conv.dcn_weight"]), w)
 
 
 def test_npz_roundtrip_and_gc(tmp_path):

@@ -318,3 +318,47 @@ def test_matrix_nms_randomized_oracle(use_gaussian, seed):
     got = out[out[:, 0] >= 0]
     assert got.shape == ref.shape, (got.shape, ref.shape)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_multiclass_nms_matches_greedy_oracle():
+    from ppyolo_tpu.ops.matrix_nms import multiclass_nms
+
+    r = np.random.RandomState(11)
+    a, c = 40, 4
+    boxes = r.rand(a, 4).astype(np.float32) * 60
+    boxes[:, 2:] = boxes[:, :2] + 3 + 25 * r.rand(a, 2).astype(np.float32)
+    scores = (r.rand(a, c).astype(np.float32) ** 2)
+    cfg = dict(score_threshold=0.1, nms_threshold=0.45, nms_top_k=60,
+               keep_top_k=30, nms_type="multiclass_nms")
+    out = np.asarray(multiclass_nms(jnp.array(boxes[None]),
+                                    jnp.array(scores[None]), cfg))[0]
+    got = out[out[:, 0] >= 0]
+
+    # greedy oracle
+    flat = scores.flatten()
+    order = np.argsort(-flat, kind="stable")
+    keep_rows = []
+    for f in order:
+        s = flat[f]
+        if s <= cfg["score_threshold"]:
+            break
+        lbl, b = f % c, boxes[f // c]
+        sup = False
+        for (l2, _, bx) in keep_rows:
+            if l2 != lbl:
+                continue
+            xa, ya = max(b[0], bx[0]), max(b[1], bx[1])
+            xb, yb = min(b[2], bx[2]), min(b[3], bx[3])
+            inter = max(xb - xa, 0) * max(yb - ya, 0)
+            u = ((b[2]-b[0])*(b[3]-b[1]) + (bx[2]-bx[0])*(bx[3]-bx[1]) - inter)
+            if inter / u > cfg["nms_threshold"]:
+                sup = True
+                break
+        if not sup:
+            keep_rows.append((lbl, s, b))
+    keep_rows = keep_rows[:cfg["keep_top_k"]]
+    assert len(got) == len(keep_rows)
+    for row, (lbl, s, b) in zip(got, keep_rows):
+        assert row[0] == lbl
+        np.testing.assert_allclose(row[1], s, rtol=1e-5)
+        np.testing.assert_allclose(row[2:], b, rtol=1e-5)
