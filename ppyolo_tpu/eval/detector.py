@@ -70,6 +70,34 @@ class Detector:
                                 jnp.asarray(im_sizes))
         return np.asarray(out)
 
+    def predict_pipelined(self, pimages: np.ndarray, im_sizes: np.ndarray,
+                          *, group: int) -> np.ndarray:
+        """Steady-state serving mode: scan ``group`` fixed-size batches inside
+        ONE device dispatch (lax.scan), so per-dispatch host latency amortizes
+        over group*B images — the TPU-serving analogue of a request queue.
+
+        pimages [G*B, S, S, 3], im_sizes [G*B, 2] with G = group.
+        Returns [G*B, keep_top_k, 6].
+        """
+        gb = pimages.shape[0]
+        assert gb % group == 0
+        b = gb // group
+        if not hasattr(self, "_scan_jits"):
+            self._scan_jits = {}
+        key = (group, b, pimages.shape[1])
+        if key not in self._scan_jits:
+            def many(params, images, sizes):
+                def body(_, xs):
+                    im, sz = xs
+                    return None, self._predict_fn(params, im, sz)
+                _, outs = jax.lax.scan(body, None, (images, sizes))
+                return outs
+            self._scan_jits[key] = jax.jit(many)
+        images = jnp.asarray(pimages).reshape(group, b, *pimages.shape[1:])
+        sizes = jnp.asarray(im_sizes).reshape(group, b, 2)
+        out = self._scan_jits[key](self.params, images, sizes)
+        return np.asarray(out).reshape(gb, *out.shape[2:])
+
     # -- reference-compatible per-image API (decode_np.py:41-96) ------------
     def detect_image(self, img_bgr: np.ndarray, draw_thresh: Optional[float] = None):
         pimage, im_size = self.process_image(img_bgr)
