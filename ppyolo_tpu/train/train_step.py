@@ -48,12 +48,16 @@ def build_loss(cfg) -> YOLOv3Loss:
 
 
 def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, remat: Optional[bool] = None):
     """Returns ``step_fn(state, batch, rng) -> (state, loss_dict)``.
 
     batch: {'image': [N,H,W,3], 'gt_bbox': [N,50,4] normalized xywh,
             'targets': tuple of per-level [N,S,S,an,6+C]}.
     Jit (or wrap in shard_map + jit) at the call site.
+
+    remat: rematerialize the backbone in the backward pass
+    (``jax.checkpoint``) — trades FLOPs for activation memory so larger
+    batches/inputs fit HBM.  Defaults to cfg.train_cfg['remat'] (off).
     """
     loss_obj = build_loss(cfg)
     lr_fn = make_lr_fn(cfg.learningRate)
@@ -65,6 +69,24 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
     ema_decay = getattr(cfg, "ema_decay", 0.9998)
     num_classes = cfg.head["num_classes"]
     mask_anchors = model.head.mask_anchors
+    if remat is None:
+        remat = bool(cfg.train_cfg.get("remat", False))
+
+    def forward(params, images, ctx):
+        if remat:
+            # BN-stat updates must cross the checkpoint boundary as explicit
+            # outputs, not closure mutation (leaked-tracer hazard)
+            def bb(p, im):
+                inner = Ctx(train=ctx.train, rng=ctx.rng, updates={},
+                            axis_name=ctx.axis_name)
+                feats = model.features(p, im, inner)
+                return tuple(feats), inner.updates
+
+            feats, bb_updates = jax.checkpoint(bb)(params, images)
+            if ctx.updates is not None:
+                ctx.updates.update(bb_updates)
+            return model.head.get_outputs(params["head"], list(feats), ctx)
+        return model.outputs(params, images, ctx)
 
     def loss_fn(trainable_flat, frozen_flat, batch, rng):
         merged = {**trainable_flat, **frozen_flat}
@@ -82,7 +104,7 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
         updates: Dict[str, jax.Array] = {}
         ctx = Ctx(train=True, rng=rng, updates=updates, axis_name=axis_name)
         images = batch["image"].astype(compute_dtype)
-        outputs = model.outputs(params, images, ctx)
+        outputs = forward(params, images, ctx)
         losses = loss_obj(outputs, list(batch["targets"]), batch["gt_bbox"],
                           mask_anchors, num_classes)
         return total_loss(losses), (losses, updates)

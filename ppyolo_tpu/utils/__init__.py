@@ -1,2 +1,2 @@
 from .logger import setup_logger, TrainMeter
-from .profiling import trace, timeit_sync
+from .profiling import trace, timeit_sync, summarize_trace

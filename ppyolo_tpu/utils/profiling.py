@@ -25,6 +25,29 @@ def trace(logdir: str = "/tmp/ppyolo_trace"):
         jax.profiler.stop_trace()
 
 
+def summarize_trace(logdir: str, top: int = 25):
+    """Aggregate per-op device time from a jax.profiler trace directory.
+
+    Returns [(name, total_ms)] sorted desc — the quick hot-op view used to
+    find the NMS sort and DCN gather bottlenecks (docs/DESIGN.md)."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    dur: "collections.Counter[str]" = collections.Counter()
+    for f in glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True):
+        data = json.load(gzip.open(f))
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") == "X" and "dur" in ev:
+                n = ev.get("name", "?")
+                if (n.startswith("$") or n.isdigit() or "Function" in n
+                        or "asarray" in n or n.startswith("np.")):
+                    continue
+                dur[n] += ev["dur"]
+    return [(name, d / 1000.0) for name, d in dur.most_common(top)]
+
+
 def timeit_sync(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> float:
     """Mean seconds/call of a jitted fn, syncing via np.asarray on a leaf."""
     import jax

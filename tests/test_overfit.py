@@ -71,8 +71,28 @@ def test_overfit_single_image_detects():
     label, score, x0, y0, x1, y1 = top
     assert label == 1.0
     assert score > 0.5
-    ix = max(0.0, min(x1, x1g) - max(x0, x0g))
-    iy = max(0.0, min(y1, y1g) - max(y0, y0g))
-    inter = ix * iy
-    union = (x1 - x0) * (y1 - y0) + (x1g - x0g) * (y1g - y0g) - inter
-    assert inter / union > 0.5, top
+    def iou_with_gt(box):
+        x0, y0, x1, y1 = box
+        ix = max(0.0, min(x1, x1g) - max(x0, x0g))
+        iy = max(0.0, min(y1, y1g) - max(y0, y0g))
+        inter = ix * iy
+        union = (x1 - x0) * (y1 - y0) + (x1g - x0g) * (y1g - y0g) - inter
+        return inter / union
+
+    assert iou_with_gt(top[2:6]) > 0.5, top
+
+    # bf16 + BN-folded inference must preserve the detection (mAP-safety
+    # evidence for the optimized serving path)
+    from ppyolo_tpu.eval.optimize import optimize_for_inference
+
+    opt = optimize_for_inference(state.params, precision="bf16", fold_bn=True)
+    pred16 = model.predict(opt, jnp.asarray(img).astype(jnp.bfloat16),
+                           jnp.asarray([[size, size]], np.float32),
+                           Ctx(train=False))
+    top16 = np.asarray(pred16)[0][0]
+    assert top16[0] == 1.0
+    assert abs(top16[1] - score) < 0.05
+    assert iou_with_gt(top16[2:6]) > 0.5
+    # fp32 vs bf16 box agreement
+    b32, b16 = np.array(top[2:6]), np.array(top16[2:6])
+    assert np.abs(b32 - b16).max() < 3.0, (b32, b16)

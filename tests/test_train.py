@@ -227,3 +227,23 @@ def test_multichip_step_matches_single():
     for a, b in zip(f1, f8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint'ed backbone must not change the step numerics."""
+    cfg = TinyCfg(norm="bn")
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = make_batch(2)
+    rng = jax.random.PRNGKey(3)
+
+    sa = init_train_state(model, params, cfg)
+    sa, la = jax.jit(make_train_step(model, cfg))(sa, batch, rng)
+    sb = init_train_state(model, params, cfg)
+    sb, lb = jax.jit(make_train_step(model, cfg, remat=True))(sb, batch, rng)
+
+    np.testing.assert_allclose(float(la["total_loss"]),
+                               float(lb["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
