@@ -30,3 +30,20 @@ def test_sharded_predict_matches_single():
     # 4e-4 level through exp() on random weights — labels/scores must agree
     np.testing.assert_allclose(got[..., :2], ref[..., :2], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(got[..., 2:], ref[..., 2:], rtol=5e-3, atol=5e-2)
+
+
+def test_predict_pipelined_matches_batched():
+    from ppyolo_tpu.eval.detector import Detector
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 5
+    cfg.head = dict(cfg.head, num_classes=5)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    det = Detector(model, params, cfg, target_size=128, fold_bn=False)
+    r = np.random.RandomState(0)
+    imgs = r.rand(4, 128, 128, 3).astype(np.float32)
+    sizes = np.tile([[128.0, 128.0]], (4, 1)).astype(np.float32)
+    ref = det.predict_batch(imgs[:2], sizes[:2])
+    out = det.predict_pipelined(imgs, sizes, group=2)
+    np.testing.assert_allclose(out[:2], ref, rtol=1e-4, atol=1e-4)
