@@ -517,7 +517,9 @@ class RandomShapeSingle(BaseOperator):
         h, w = im.shape[:2]
         scale_x = float(shape) / w
         scale_y = float(shape) / h
-        sample["image"] = cv2.resize(im, None, None, fx=scale_x, fy=scale_y,
+        # explicit dsize: fx/fy rounding could yield shape+-1 and break the
+        # static-shape batch stack
+        sample["image"] = cv2.resize(im, (int(shape), int(shape)),
                                      interpolation=method)
         if self.resize_box and len(sample.get("gt_bbox", [])) > 0:
             scale = np.array([scale_x, scale_y] * 2, np.float32)

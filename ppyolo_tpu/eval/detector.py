@@ -50,8 +50,7 @@ class Detector:
         im = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
         h, w = im.shape[:2]
         ts = self.target_size
-        im = cv2.resize(im, None, None, fx=ts / w, fy=ts / h,
-                        interpolation=self.interp)
+        im = cv2.resize(im, (ts, ts), interpolation=self.interp)
         im = im.astype(np.float32) / 255.0
         im = (im - self.mean) / self.std
         if self.to_bgr:
