@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -104,6 +105,13 @@ def train_batches(records: List[dict], cfg, *, seed: int = 0,
     mixup_steps = tc.get("mixup_epoch", 0) * steps_per_epoch
     cutmix_steps = tc.get("cutmix_epoch", 0) * steps_per_epoch
     sample_ops = build_sample_transforms(cfg)
+    # per-sample worker threads (reference train.py:101-110, num_threads=5);
+    # cv2 releases the GIL so threads parallelize imdecode/resize/augment.
+    # Each worker gets its own RNG stream (derived, deterministic).
+    n_threads = int(tc.get("num_threads", 0) or 0)
+    pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
+    worker_rngs = [np.random.RandomState(seed + 7919 * shard_id + 101 * (i + 1))
+                   for i in range(batch_size)]
 
     iter_id = start_iter
     indexes = np.arange(n)
@@ -124,8 +132,14 @@ def train_batches(records: List[dict], cfg, *, seed: int = 0,
             samples = get_samples(records, indexes, step, batch_size, iter_id,
                                   with_mixup, with_cutmix, mixup_steps,
                                   cutmix_steps, rng)
-            samples = [apply_sample_transforms(s, sample_ops, rng)
-                       for s in samples]
+            if pool is not None:
+                samples = list(pool.map(
+                    lambda iv: apply_sample_transforms(
+                        iv[1], sample_ops, worker_rngs[iv[0]]),
+                    enumerate(samples)))
+            else:
+                samples = [apply_sample_transforms(s, sample_ops, rng)
+                           for s in samples]
             yield assemble_batch(samples, cfg, rng, fixed_shape=shape)
 
 
