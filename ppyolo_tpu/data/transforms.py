@@ -192,7 +192,8 @@ class ColorDistort(BaseOperator):
                          [0.211, -0.523, 0.311]])
         ityiq = np.array([[1.0, 0.956, 0.621], [1.0, -0.272, -0.647],
                           [1.0, -1.107, 1.705]])
-        t = np.dot(np.dot(ityiq, bt), tyiq).T
+        # f32 — a float64 3x3 would promote the whole image dot to f64 (2x cost)
+        t = np.dot(np.dot(ityiq, bt), tyiq).T.astype(np.float32)
         return np.dot(img, t)
 
     def _saturation(self, img, rng):

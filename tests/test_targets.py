@@ -106,3 +106,29 @@ def test_native_scatter_matches_numpy():
                           DS, c, use_native=False)
     for x, y in zip(a, ref):
         np.testing.assert_allclose(x, y, atol=1e-6)
+
+
+def test_iou_thresh_secondary_assignment():
+    """iou_thresh<1 multi-anchor path (transform.py:1397-1419): non-best
+    same-level anchors above the threshold also receive the target."""
+    h = w = 128
+    # box sized exactly like anchor 4 -> best match anchor 4; anchor 3 (81x82)
+    # has wh-IoU ~ (81*82)/(135*169) = 0.29 with it
+    aw, ah = 135 / w, 169 / h
+    gt_bbox = np.array([[[0.5, 0.5, aw, ah]]], np.float32)
+    gt_class = np.array([[1]])
+    gt_score = np.ones((1, 1), np.float32)
+    t = gt2yolo_targets(gt_bbox, gt_class, gt_score, (h, w), ANCHORS, MASKS,
+                        DS, 4, iou_thresh=0.25, use_native=False)
+    lvl0 = t[0][0]
+    slot_best = MASKS[0].index(4)
+    slot_sec = MASKS[0].index(3)
+    gi = gj = 2
+    assert lvl0[gj, gi, slot_best, 5] == 1.0       # best anchor assigned
+    assert lvl0[gj, gi, slot_sec, 5] == 1.0        # secondary assigned
+    # anchor 5 (344x319): wh-IoU ~ 0.21 < 0.25 -> NOT assigned
+    slot_far = MASKS[0].index(5)
+    assert lvl0[gj, gi, slot_far, 5] == 0.0
+    # tw/th encode each slot's own anchor (transform.py:1409-1411)
+    np.testing.assert_allclose(lvl0[gj, gi, slot_sec, 2],
+                               np.log(aw * w / ANCHORS[3][0]), rtol=1e-5)
