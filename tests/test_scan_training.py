@@ -15,3 +15,42 @@ def test_run_training_scan_bf16(tmp_path):
     state = run_training(cfg, ndev=1, weights_dir=str(tmp_path / "w"))
     assert int(np.asarray(state.step)) >= 4
     assert any(f.startswith("step") for f in os.listdir(tmp_path / "w"))
+
+
+def test_multi_shape_training_compiles_per_bucket(tmp_path):
+    """Random-shape training: consecutive batches at different sizes reuse
+    the per-shape compiled step (SURVEY.md §7 hard part 3)."""
+    import jax
+    import jax.numpy as jnp
+    from ppyolo_tpu.models import PPYOLO
+    from ppyolo_tpu.train import make_train_step, init_train_state
+    from ppyolo_tpu.data import train_batches
+    from tests.test_integration import _make_dataset, ItCfg
+
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=4)
+    cfg = ItCfg(anno_path, img_dir, str(tmp_path))
+    cfg.randomShape = dict(sizes=[96, 128], random_inter=True)
+    from ppyolo_tpu.data.coco import CocoJson
+    from ppyolo_tpu.data import category_maps, data_clean
+    coco = CocoJson(anno_path)
+    c2c, _, _ = category_maps(coco)
+    recs = data_clean(coco, coco.get_img_ids(), c2c, img_dir)
+
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    step = jax.jit(make_train_step(model, cfg))
+    shapes_seen = set()
+    it = train_batches(recs, cfg, seed=3)
+    import numpy as np
+    for i in range(6):
+        b = next(it)
+        shapes_seen.add(b["shape"])
+        device_batch = {"image": jnp.asarray(b["image"]),
+                        "gt_bbox": jnp.asarray(b["gt_bbox"]),
+                        "targets": tuple(jnp.asarray(t) for t in b["targets"])}
+        state, losses = step(state, device_batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(losses["total_loss"]))
+    assert shapes_seen == {96, 128}
+    # 2 shapes -> exactly 2 compiled variants cached
+    assert step._cache_size() == 2
