@@ -46,10 +46,9 @@ def _bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray):
     return ious
 
 
-def _evaluate_img(dts, gts, area_rng, max_det):
-    """Match one (image, category): returns dict for accumulate, or None."""
-    if len(dts) == 0 and len(gts) == 0:
-        return None
+def _match_img(dts, gts, ious_full, area_rng):
+    """Match one (image, category) given precomputed IoUs in original gt
+    order; dts already score-sorted and truncated to the largest maxDet."""
     g_ignore = np.array([
         bool(g.get("iscrowd", 0)) or g["area"] < area_rng[0]
         or g["area"] > area_rng[1] for g in gts], bool)
@@ -57,19 +56,8 @@ def _evaluate_img(dts, gts, area_rng, max_det):
     g_order = np.argsort(g_ignore, kind="stable")
     gts = [gts[i] for i in g_order]
     g_ignore = g_ignore[g_order]
-    d_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
-    dts = [dts[i] for i in d_order]
-
-    if len(dts) and len(gts):
-        dtb = np.array([d["bbox"] for d in dts], np.float64)
-        gtb = np.array([g["bbox"] for g in gts], np.float64)
-        crowd = np.array([g.get("iscrowd", 0) for g in gts], bool)
-        from ..native import bbox_iou_xywh as native_iou
-        ious = native_iou(dtb, gtb, crowd)
-        if ious is None:
-            ious = _bbox_iou_xywh(dtb, gtb, crowd)
-    else:
-        ious = np.zeros((len(dts), len(gts)))
+    ious = (ious_full[:, g_order] if ious_full.size
+            else np.zeros((len(dts), len(gts))))
 
     T = len(IOU_THRS)
     from ..native import match_greedy as native_match
@@ -138,19 +126,46 @@ def evaluate_map(gt_annotations: Dict, detections: List[Dict],
     recall = -np.ones((T, K, A, M))
 
     for k, cat in enumerate(cat_ids):
-        for a, aname in enumerate(area_names):
-            rng = AREA_RNGS[aname]
+        # IoUs once per (img, cat); matches once per (img, cat, area) at the
+        # largest maxDet — smaller maxDets are exact per-image truncations
+        # (greedy matching of dt i never depends on later dts), the same
+        # factorization pycocotools uses.  This is what makes full val2017
+        # (5k imgs x 80 cats) tractable in pure python + the native matcher.
+        per_area_evals = {a: [] for a in range(len(area_names))}
+        md_max = max(max_dets)
+        for i in img_ids:
+            dts = dt_by.get((i, cat), [])
+            gts = gt_by.get((i, cat), [])
+            if not dts and not gts:
+                continue
+            d_order = np.argsort([-d["score"] for d in dts],
+                                 kind="stable")[:md_max]
+            dts = [dts[j] for j in d_order]
+            if dts and gts:
+                dtb = np.array([d["bbox"] for d in dts], np.float64)
+                gtb = np.array([g["bbox"] for g in gts], np.float64)
+                crowd = np.array([g.get("iscrowd", 0) for g in gts], bool)
+                from ..native import bbox_iou_xywh as native_iou
+                ious_full = native_iou(dtb, gtb, crowd)
+                if ious_full is None:
+                    ious_full = _bbox_iou_xywh(dtb, gtb, crowd)
+            else:
+                ious_full = np.zeros((len(dts), len(gts)))
+            for a, aname in enumerate(area_names):
+                rng = AREA_RNGS[aname]
+                per_area_evals[a].append(_match_img(dts, gts, ious_full, rng))
+
+        for a in range(len(area_names)):
+            evals = per_area_evals[a]
+            if not evals:
+                continue
             for m, md in enumerate(max_dets):
-                evals = [_evaluate_img(dt_by.get((i, cat), []),
-                                       gt_by.get((i, cat), []), rng, md)
-                         for i in img_ids]
-                evals = [e for e in evals if e is not None]
-                if not evals:
-                    continue
-                scores = np.concatenate([e["dt_scores"] for e in evals])
+                scores = np.concatenate([e["dt_scores"][:md] for e in evals])
                 order = np.argsort(-scores, kind="mergesort")
-                matched = np.concatenate([e["dt_matched"] for e in evals], 1)[:, order]
-                ignored = np.concatenate([e["dt_ignore"] for e in evals], 1)[:, order]
+                matched = np.concatenate(
+                    [e["dt_matched"][:, :md] for e in evals], 1)[:, order]
+                ignored = np.concatenate(
+                    [e["dt_ignore"][:, :md] for e in evals], 1)[:, order]
                 num_gt = sum(e["num_gt"] for e in evals)
                 if num_gt == 0:
                     continue
