@@ -142,9 +142,9 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         }
 
     batch_iter = iter(batches)
+    it = int(np.asarray(state.step))  # one sync at start; tracked on host
     while True:
         t0 = time.time()
-        it = int(np.asarray(state.step))
         rng, sub = jax.random.split(rng)
         if scan_steps > 1:
             group = [to_device_batch(next(batch_iter))
