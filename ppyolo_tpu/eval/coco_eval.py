@@ -44,19 +44,20 @@ def get_classes(classes_path: str) -> List[str]:
 def detections_to_coco(pred: np.ndarray, im_id: int,
                        clsid2catid: Dict[int, int]) -> List[dict]:
     """[keep_top_k, 6] rows -> COCO result dicts (cocotools.py:159-191
-    format: xywh, catid remap, rounded to 2 decimals)."""
+    format: xywh with the reference's +1 pixel convention, catid remap,
+    coordinates rounded to the nearest 0.1 as COCO suggests)."""
     out = []
     for row in pred:
         label, score, x0, y0, x1, y1 = row
         if label < 0:
             continue
-        w, h = x1 - x0, y1 - y0
+        w, h = x1 - x0 + 1, y1 - y0 + 1
+        bbox = [round(float(v) * 10) / 10 for v in (x0, y0, w, h)]
         out.append({
             "image_id": int(im_id),
             "category_id": int(clsid2catid[int(label)]),
-            "bbox": [round(float(x0), 2), round(float(y0), 2),
-                     round(float(w), 2), round(float(h), 2)],
-            "score": float(round(float(score), 6)),
+            "bbox": bbox,
+            "score": float(score),
         })
     return out
 
