@@ -31,6 +31,8 @@ class Detector:
 
         self.model = model
         self.cfg = cfg
+        self._precision = precision
+        self._fold_bn = fold_bn
         if fold_bn or precision == "bf16":
             params = optimize_for_inference(params, precision=precision,
                                             fold_bn=fold_bn)
@@ -44,6 +46,17 @@ class Detector:
         self.to_bgr = bool(cfg.permute.get("to_bgr", False))
         self.compute_dtype = compute_dtype
         self._predict_jit = jax.jit(self._predict_fn)
+
+    def set_params(self, params):
+        """Swap model weights (re-applying BN-fold/precision) WITHOUT
+        retracing — params are jit arguments, so the compiled executable is
+        reused (the periodic in-training eval would otherwise recompile)."""
+        from .optimize import optimize_for_inference
+
+        if self._fold_bn or self._precision == "bf16":
+            params = optimize_for_inference(
+                params, precision=self._precision, fold_bn=self._fold_bn)
+        self.params = params
 
     # -- host preprocessing (decode_np.py:125-140) --------------------------
     def process_image(self, img_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

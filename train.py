@@ -131,6 +131,7 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
 
     os.makedirs(weights_dir, exist_ok=True)
     best_ap = -1.0
+    eval_det = None  # reused across periodic evals (set_params avoids retrace)
     time_q = deque(maxlen=20)
     rng = jax.random.PRNGKey(1)
 
@@ -181,8 +182,12 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         if (it % tc["eval_iter"] < scan_steps and it >= tc["eval_iter"]
                 and os.path.exists(cfg.val_path)):
             eval_params = state.ema if state.ema is not None else state.params
-            det = Detector(model, eval_params, cfg,
-                           target_size=cfg.eval_cfg["target_size"])
+            if eval_det is None:
+                eval_det = Detector(model, eval_params, cfg,
+                                    target_size=cfg.eval_cfg["target_size"])
+            else:
+                eval_det.set_params(eval_params)
+            det = eval_det
             val = CocoJson(cfg.val_path)
             images = [im for im in val.dataset["images"]
                       if val.img_anns.get(im["id"])]
