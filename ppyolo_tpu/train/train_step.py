@@ -169,5 +169,8 @@ def init_train_state(model, params, cfg) -> TrainState:
     flat_policy = model.flat_policy()
     trainable, _ = split_trainable(params, flat_policy)
     velocity = {k: jnp.zeros_like(v) for k, v in trainable.items()}
-    ema = jax.tree.map(jnp.asarray, params) if getattr(cfg, "use_ema", False) else None
+    # real copies: EMA must not alias the param buffers (donation would
+    # otherwise see the same buffer twice)
+    ema = (jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+           if getattr(cfg, "use_ema", False) else None)
     return TrainState(params, velocity, ema, jnp.zeros((), jnp.int32))

@@ -109,11 +109,14 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         state = put_replicated(state, mesh)
         logger.info("data-parallel over %d devices", ndev)
     else:
-        step_fn = jax.jit(make_train_step(model, cfg, compute_dtype=compute_dtype))
+        # donate the state: old param/velocity/EMA buffers are reused in-place
+        step_fn = jax.jit(make_train_step(model, cfg, compute_dtype=compute_dtype),
+                          donate_argnums=(0,))
     scan_steps = int(tc.get("scan_steps", 1))
     if scan_steps > 1 and not use_mesh:
         multi_fn = jax.jit(make_multi_train_step(
-            model, cfg, n_steps=scan_steps, compute_dtype=compute_dtype))
+            model, cfg, n_steps=scan_steps, compute_dtype=compute_dtype),
+            donate_argnums=(0,))
     else:
         scan_steps = 1
 
