@@ -87,6 +87,44 @@ def _corner_tables(offset, mask, H, W, oH, oW, kh, kw, stride, padding):
     return idx, wgt, mod
 
 
+def deform_conv2d_onehot(x, weight, offset, mask, *, stride: int = 1,
+                         padding: int = 1, bias=None):
+    """Gather-free jnp DCNv2: the one-hot-matmul formulation in plain XLA.
+
+    Same math as the Pallas kernel but with the selection tensors
+    materialized ([N,k2,P,Q] bf16 in HBM) so XLA autodiff yields a backward
+    made ENTIRELY of matmul transposes + elementwise ops — no gather in the
+    forward, no scatter-add in the backward (XLA lowers both poorly on TPU;
+    the jnp gather formulation's vjp is the slow path this replaces).
+    Offset gradients flow through the bilinear corner weights (ly = p -
+    floor(p) has d ly/d p = 1 a.e.), matching the CUDA coordinate-gradient
+    semantics (dcn_v2_im2col_cuda.cu:83-124).
+    """
+    N, H, W, C = x.shape
+    kh, kw, _, out_c = weight.shape
+    k2 = kh * kw
+    oH = (H + 2 * padding - (kh - 1) - 1) // stride + 1
+    oW = (W + 2 * padding - (kw - 1) - 1) // stride + 1
+    P, Q = oH * oW, H * W
+
+    idx, wgt, mod = _corner_tables(offset, mask, H, W, oH, oW, kh, kw,
+                                   stride, padding)          # [N,k2,P,4], mod [N,k2,P,1]
+    row_q = jnp.arange(Q, dtype=jnp.int32)
+    onehot = (idx[..., None] == row_q).astype(x.dtype)       # [N,k2,P,4,Q]
+    s = jnp.einsum("nkpc,nkpcq->nkpq", wgt.astype(x.dtype), onehot)
+    xf = x.reshape(N, Q, C)
+    sampled = jnp.einsum("nkpq,nqc->nkpc", s, xf,
+                         preferred_element_type=jnp.float32)  # [N,k2,P,C]
+    sampled = sampled * mod                                   # [N,k2,P,1] bcast
+    val = sampled.transpose(0, 2, 1, 3).reshape(N * P, k2 * C)
+    out = jnp.dot(val.astype(x.dtype), weight.reshape(k2 * C, out_c),
+                  preferred_element_type=jnp.float32)
+    out = out.reshape(N, oH, oW, out_c).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def _kernel(idx_ref, wgt_ref, mod_ref, x_ref, w_ref, out_ref):
     k = pl.program_id(1)
 
@@ -179,8 +217,10 @@ def _dcn_fast_fwd(x, weight, offset, mask, stride, padding):
 
 def _dcn_fast_bwd(stride, padding, res, g):
     x, weight, offset, mask = res
+    # differentiate the one-hot formulation: backward is matmul transposes,
+    # no scatter-add (the gather formulation's vjp lowers to TPU scatter)
     _, vjp = jax.vjp(
-        lambda x_, w_, o_, m_: deform_conv2d(
+        lambda x_, w_, o_, m_: deform_conv2d_onehot(
             x_, w_, o_, m_, stride=stride, padding=padding),
         x, weight, offset, mask)
     return vjp(g)
