@@ -64,9 +64,15 @@ def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32"):
 
     det = Detector(model, params, cfg, target_size=cfg.eval_cfg["target_size"],
                    precision=precision)
+    from ppyolo_tpu.eval import get_classes
+    class_names = (get_classes(cfg.classes_path)
+                   if os.path.exists(cfg.classes_path) else None)
     stats = coco_eval(det, images, pre_path, anno_path,
                       cfg.eval_cfg["eval_batch_size"], type_=type_,
-                      clsid2catid=clsid2catid)
+                      clsid2catid=clsid2catid,
+                      draw_image=cfg.eval_cfg.get("draw_image", False),
+                      draw_thresh=cfg.eval_cfg.get("draw_thresh", 0.15),
+                      class_names=class_names)
     if stats is not None:
         logger.info("box ap: %.4f", float(stats[0]))
     return stats

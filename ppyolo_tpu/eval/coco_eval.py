@@ -91,15 +91,21 @@ def evaluate_detections(detections: List[dict], anno_file: str,
 def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
               eval_batch_size: int, *, type_: str = "eval",
               result_dir: str = "eval_results",
-              clsid2catid: Optional[Dict[int, int]] = None):
+              clsid2catid: Optional[Dict[int, int]] = None,
+              draw_image: bool = False, draw_thresh: float = 0.15,
+              class_names: Optional[List[str]] = None):
     """Drive the detector over the val set and compute mAP
     (reference cocotools.py:195-277).  Returns box AP stats (or writes the
-    test-dev submission json when type_=='test_dev')."""
+    test-dev submission json when type_=='test_dev').  With draw_image, the
+    detections above draw_thresh are rendered to result_dir/images
+    (cocotools.py:188-189)."""
     clsid2catid = clsid2catid or COCO_CLSID2CATID
     bbox_dir = os.path.join(result_dir, "bbox")
     if os.path.exists(result_dir):
         shutil.rmtree(result_dir, ignore_errors=True)
     os.makedirs(bbox_dir, exist_ok=True)
+    if draw_image:
+        os.makedirs(os.path.join(result_dir, "images"), exist_ok=True)
 
     all_dets: List[dict] = []
     n = len(images)
@@ -107,13 +113,15 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
     i = 0
     while i < n:
         batch = images[i:i + eval_batch_size]
-        pimages, sizes, ids = [], [], []
+        pimages, sizes, ids, raw_imgs, names = [], [], [], [], []
         for im in batch:
             img = cv2.imread(os.path.join(eval_pre_path, im["file_name"]))
             p, s = detector.process_image(img)
             pimages.append(p[0])
             sizes.append(s[0])
             ids.append(im["id"])
+            raw_imgs.append(img)
+            names.append(im["file_name"])
         # pad the tail so the jitted program shape is stable
         pad = eval_batch_size - len(batch)
         if pad:
@@ -125,6 +133,17 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
             all_dets.extend(dets)
             with open(os.path.join(bbox_dir, f"{im_id}.json"), "w") as f:
                 f.write(json.dumps(dets) + "\n")
+            if draw_image:
+                from .visualize import draw
+
+                pred = preds[j]
+                keep = (pred[:, 0] >= 0) & (pred[:, 1] >= draw_thresh)
+                cn = class_names or [str(c) for c in range(1000)]
+                draw(raw_imgs[j], pred[keep, 2:6], pred[keep, 1],
+                     pred[keep, 0].astype(np.int32), cn)
+                cv2.imwrite(os.path.join(result_dir, "images",
+                                         os.path.basename(names[j])),
+                            raw_imgs[j])
         i += eval_batch_size
         if i % (20 * eval_batch_size) == 0:
             elapsed = time.time() - start

@@ -58,6 +58,7 @@ class ItCfg(PPYOLO_r18vd_Config):
             eval_iter=10**9, model_path=os.path.join(tmp, "nonexistent.npz"),
             mixup_epoch=0)
         self.eval_cfg = dict(self.eval_cfg, target_size=96, eval_batch_size=2,
+                             draw_image=True, draw_thresh=0.0,
                              model_path=os.path.join(tmp, "nonexistent.npz"))
         self.randomShape = dict(sizes=[96], random_inter=True)
         self.learningRate = dict(self.learningRate, base_lr=1e-4)
@@ -86,6 +87,7 @@ def test_training_and_eval_pipeline(tmp_path):
     assert -1.0 <= float(stats[0]) <= 1.0
     merged = os.path.join("eval_results", "bbox_detections.json")
     assert os.path.exists(merged)
+    assert os.listdir(os.path.join("eval_results", "images"))  # draw_image
 
 
 def test_resume_from_checkpoint(tmp_path):
