@@ -110,24 +110,35 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
     all_dets: List[dict] = []
     n = len(images)
     start = time.time()
-    i = 0
-    while i < n:
-        batch = images[i:i + eval_batch_size]
-        pimages, sizes, ids, raw_imgs, names = [], [], [], [], []
-        for im in batch:
-            img = cv2.imread(os.path.join(eval_pre_path, im["file_name"]))
-            p, s = detector.process_image(img)
-            pimages.append(p[0])
-            sizes.append(s[0])
-            ids.append(im["id"])
-            raw_imgs.append(img)
-            names.append(im["file_name"])
-        # pad the tail so the jitted program shape is stable
-        pad = eval_batch_size - len(batch)
-        if pad:
-            pimages += [pimages[-1]] * pad
-            sizes += [sizes[-1]] * pad
-        preds = detector.predict_batch(np.stack(pimages), np.stack(sizes))
+
+    def read_batches():
+        """Producer: imread + preprocess the next batch while the device runs
+        the current one (reference read_eval_data thread, cocotools.py:113-157)."""
+        i = 0
+        while i < n:
+            batch = images[i:i + eval_batch_size]
+            pimages, sizes, ids, raw_imgs, names = [], [], [], [], []
+            for im in batch:
+                img = cv2.imread(os.path.join(eval_pre_path, im["file_name"]))
+                p, s = detector.process_image(img)
+                pimages.append(p[0])
+                sizes.append(s[0])
+                ids.append(im["id"])
+                raw_imgs.append(img if draw_image else None)
+                names.append(im["file_name"])
+            # pad the tail so the jitted program shape is stable
+            pad = eval_batch_size - len(batch)
+            if pad:
+                pimages += [pimages[-1]] * pad
+                sizes += [sizes[-1]] * pad
+            yield (i, np.stack(pimages), np.stack(sizes), ids, raw_imgs, names)
+            i += eval_batch_size
+
+    from ..data.loader import Prefetcher
+
+    for (i, pimages, sizes, ids, raw_imgs, names) in Prefetcher(
+            read_batches(), max_batch=3):
+        preds = detector.predict_batch(pimages, sizes)
         for j, im_id in enumerate(ids):
             dets = detections_to_coco(preds[j], im_id, clsid2catid)
             all_dets.extend(dets)
@@ -144,10 +155,10 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
                 cv2.imwrite(os.path.join(result_dir, "images",
                                          os.path.basename(names[j])),
                             raw_imgs[j])
-        i += eval_batch_size
-        if i % (20 * eval_batch_size) == 0:
+        done = i + eval_batch_size
+        if done % (20 * eval_batch_size) == 0:
             elapsed = time.time() - start
-            print(f"Test iter {i}, {i / max(elapsed, 1e-9):.1f} img/s")
+            print(f"Test iter {done}, {done / max(elapsed, 1e-9):.1f} img/s")
     cost = time.time() - start
     print(f"total time: {cost:.2f}s, speed: {n / max(cost, 1e-9):.1f} img/s")
 
