@@ -20,7 +20,7 @@ import numpy as np
 
 BASELINE_FPS = 16.6  # reference README.md:13 (ppyolo_2x @608, GTX 1660 Ti)
 BATCH = 4
-GROUP = 4            # batches per scanned dispatch
+GROUP = 16           # batches per scanned dispatch
 SIZE = 608
 
 
@@ -67,7 +67,7 @@ def main():
 
     print(json.dumps({
         "metric": "ppyolo_2x 608x608 serving throughput per chip (bf16+BN-"
-                  "fold, batch 4 x scan 4, Matrix-NMS on device)",
+                  "fold, batch 4 x scan 16, Matrix-NMS on device)",
         "value": round(fps, 2),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
