@@ -1,0 +1,70 @@
+"""CLI tool drives: convert_weights on a real torch .pt, draw_gt rendering."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_convert_weights_cli_torch_pt(tmp_path):
+    torch = pytest.importorskip("torch")
+    import jax
+    from ppyolo_tpu.models import PPYOLO
+    from ppyolo_tpu.ops.module import flatten_tree
+    from configs import PPYOLO_r18vd_Config
+
+    # fabricate a reference-style .pt (state_dict with OIHW conv weights)
+    cfg = PPYOLO_r18vd_Config()
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    sd = {}
+    for k, v in flatten_tree(params).items():
+        v = np.asarray(v)
+        shape = ((v.shape[3], v.shape[2], v.shape[0], v.shape[1])
+                 if v.ndim == 4 else v.shape)
+        sd[k] = torch.tensor(rng.randn(*shape).astype(np.float32))
+    src = str(tmp_path / "ppyolo_r18vd.pt")
+    torch.save(sd, src)
+
+    out = str(tmp_path / "ppyolo_r18vd.npz")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "convert_weights.py"),
+         "--config=1", "--src", src, "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = np.load(out)
+    k = "backbone.stage2_0.conv1.conv.weight"
+    np.testing.assert_allclose(
+        data[k], sd[k].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+
+
+def test_draw_gt_cli(tmp_path):
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = np.random.RandomState(0).randint(0, 255, (80, 100, 3)).astype(np.uint8)
+    cv2.imwrite(str(img_dir / "a.jpg"), img)
+    anno = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 100, "height": 80}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                         "bbox": [10, 10, 40, 30], "area": 1200, "iscrowd": 0}],
+        "categories": [{"id": 1, "name": "thing"}],
+    }
+    anno_path = tmp_path / "gt.json"
+    anno_path.write_text(json.dumps(anno))
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "draw_gt.py"),
+         "--anno", str(anno_path), "--pre_path", str(img_dir) + "/",
+         "--out_dir", str(out_dir)],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    drawn = cv2.imread(str(out_dir / "a.jpg"))
+    assert drawn is not None
+    assert not np.array_equal(drawn, img)  # boxes actually rendered
