@@ -20,6 +20,19 @@ def select_backbone(name: str):
     return BACKBONES[name]
 
 
+def select_head(name: str):
+    """String->class head registry (reference get_model.py:22-26)."""
+    return {"YOLOv3Head": YOLOv3Head}[name]
+
+
+def select_loss(name: str):
+    """String->class loss registry (reference get_model.py:28-35)."""
+    from ..train.losses import YOLOv3Loss, IouLoss, IouAwareLoss
+
+    return {"YOLOv3Loss": YOLOv3Loss, "IouLoss": IouLoss,
+            "IouAwareLoss": IouAwareLoss}[name]
+
+
 class PPYOLO:
     """Composite detector (reference model/ppyolo.py)."""
 
