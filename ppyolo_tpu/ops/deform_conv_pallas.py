@@ -40,15 +40,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _corner_tables(offset, mask, H, W, oH, oW, kh, kw, stride, padding):
-    """Per-(n, tap) corner indices/weights + modulation, fp32 on XLA side.
+def _corner_tables(offset, mask, H, W, oH, oW, kh, kw, stride, padding,
+                   dtype=jnp.float32):
+    """Per-(n, tap) corner indices/weights + modulation (``dtype`` on XLA side;
+    fp32 for the kernel path, fp64 under jax_enable_x64 gradchecks).
 
-    Returns idx [N,k2,P,4] int32, wgt [N,k2,P,4] f32, mod [N,k2,P] f32
+    Returns idx [N,k2,P,4] int32, wgt [N,k2,P,4] dtype, mod [N,k2,P] dtype
     with P = oH*oW (unpadded).
     """
     N = offset.shape[0]
     k2 = kh * kw
-    f32 = jnp.float32
+    f32 = dtype
     iy = jnp.arange(oH, dtype=f32) * stride - padding
     ix = jnp.arange(oW, dtype=f32) * stride - padding
     ky = jnp.arange(kh, dtype=f32)
@@ -107,18 +109,20 @@ def deform_conv2d_onehot(x, weight, offset, mask, *, stride: int = 1,
     oW = (W + 2 * padding - (kw - 1) - 1) // stride + 1
     P, Q = oH * oW, H * W
 
+    # accumulate in fp32, or fp64 when the inputs are fp64 (x64 gradchecks)
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
     idx, wgt, mod = _corner_tables(offset, mask, H, W, oH, oW, kh, kw,
-                                   stride, padding)          # [N,k2,P,4], mod [N,k2,P,1]
+                                   stride, padding, dtype=acc_t)
     row_q = jnp.arange(Q, dtype=jnp.int32)
     onehot = (idx[..., None] == row_q).astype(x.dtype)       # [N,k2,P,4,Q]
     s = jnp.einsum("nkpc,nkpcq->nkpq", wgt.astype(x.dtype), onehot)
     xf = x.reshape(N, Q, C)
     sampled = jnp.einsum("nkpq,nqc->nkpc", s, xf,
-                         preferred_element_type=jnp.float32)  # [N,k2,P,C]
+                         preferred_element_type=acc_t)        # [N,k2,P,C]
     sampled = sampled * mod                                   # [N,k2,P,1] bcast
     val = sampled.transpose(0, 2, 1, 3).reshape(N * P, k2 * C)
     out = jnp.dot(val.astype(x.dtype), weight.reshape(k2 * C, out_c),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=acc_t)
     out = out.reshape(N, oH, oW, out_c).astype(x.dtype)
     if bias is not None:
         out = out + bias
