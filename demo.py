@@ -13,6 +13,7 @@ import logging
 import os
 import sys
 import time
+from tools.argparser import str2bool
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 logging.basicConfig(level=logging.INFO,
@@ -24,7 +25,7 @@ logger = logging.getLogger(__name__)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
-    p.add_argument("--use_gpu", type=bool, default=True)
+    p.add_argument("--use_gpu", type=str2bool, default=True)
     p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16"],
                    help="bf16 = ~2x faster inference (fp32 decode/NMS kept)")
     p.add_argument("--image_dir", type=str, default="images/test")

@@ -7,6 +7,7 @@ import argparse
 import logging
 import os
 import sys
+from tools.argparser import str2bool
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 logging.basicConfig(level=logging.INFO,
@@ -18,7 +19,7 @@ logger = logging.getLogger(__name__)
 def main(type_: str = "eval"):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
-    p.add_argument("--use_gpu", type=bool, default=True)
+    p.add_argument("--use_gpu", type=str2bool, default=True)
     p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16"],
                    help="bf16 = ~2x faster inference (fp32 decode/NMS kept)")
     args = p.parse_args()

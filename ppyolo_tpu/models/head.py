@@ -223,9 +223,10 @@ class YOLOv3Head(_Composite):
         }
 
     def iter_convs(self):
+        # each DetectionBlock's children_ already contains its tip conv
+        # (under "__tip__"), so the composite walk yields it exactly once
         for m in self.det_blocks:
             yield from m.iter_convs()
-            yield m.tip_conv
         yield from self.out_convs
         yield from self.transitions
 

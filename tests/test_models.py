@@ -98,3 +98,16 @@ def test_dropblock_active_in_train_mode():
     # reference freezes gradients only, BN stays in batch-stats mode)
     assert any(k.startswith("head.") for k in ctx_a.updates)
     assert any(k.startswith("backbone.") for k in ctx_a.updates)
+
+
+def test_iter_convs_yields_each_conv_exactly_once():
+    """Converter iteration must not double-visit (the tip conv used to be
+    yielded both via children_['__tip__'] and an explicit tip_conv yield)."""
+    from configs import PPYOLO_2x_Config
+    from ppyolo_tpu.models import PPYOLO
+
+    model = PPYOLO.from_config(PPYOLO_2x_Config())
+    convs = list(model.backbone.iter_convs()) + list(model.head.iter_convs())
+    assert len(convs) == len({id(c) for c in convs})
+    names = [c.name for c in convs if getattr(c, "name", "")]
+    assert len(names) == len(set(names))

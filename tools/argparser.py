@@ -11,10 +11,18 @@ sys.path.insert(0, ".")  # allow running from repo root
 from configs import get_config
 
 
+def str2bool(v):
+    """argparse-safe bool: 'False'/'0'/'no' parse as False (type=bool treats
+    any non-empty string as True — a reference-CLI parsing trap)."""
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() not in ("false", "0", "no", "off", "")
+
+
 class ArgParser:
     def __init__(self, argv=None):
         p = argparse.ArgumentParser(description="PPYOLO TPU")
-        p.add_argument("--use_gpu", type=bool, default=True,
+        p.add_argument("--use_gpu", type=str2bool, default=True,
                        help="kept for reference-CLI parity; ignored (JAX "
                             "selects the TPU/CPU backend)")
         p.add_argument("--config", type=int, default=0, choices=[0, 1, 2],

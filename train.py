@@ -18,6 +18,7 @@ import time
 from collections import deque
 
 import numpy as np
+from tools.argparser import str2bool
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -31,7 +32,7 @@ logger = logging.getLogger(__name__)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
-    p.add_argument("--use_gpu", type=bool, default=True)
+    p.add_argument("--use_gpu", type=str2bool, default=True)
     p.add_argument("--ndev", type=int, default=0,
                    help="devices for data-parallel training (0 = all)")
     p.add_argument("--precision", type=str, default="fp32",
