@@ -73,10 +73,17 @@ def main():
     for _ in range(10):
         det.detect_image(img)
 
+    # reader thread: imdecode of image N+1 overlaps the device running image N
+    # (reference read_test_data thread, demo.py:30-47)
+    from ppyolo_tpu.data.loader import Prefetcher
+
+    def read_images():
+        for path in paths:
+            yield path, cv2.imread(path)
+
     t0 = time.time()
     n = 0
-    for path in paths:
-        img = cv2.imread(path)
+    for path, img in Prefetcher(read_images(), max_batch=4):
         boxes, scores, classes = det.detect_image(
             img, draw_thresh=cfg.test_cfg["draw_thresh"]
             if cfg.test_cfg.get("draw_image") else None)

@@ -143,6 +143,44 @@ def train_batches(records: List[dict], cfg, *, seed: int = 0,
             yield assemble_batch(samples, cfg, rng, fixed_shape=shape)
 
 
+class DevicePrefetcher:
+    """Double-buffered host->device transfer.
+
+    Wraps a host-batch iterator and keeps one dispatch unit ahead on device:
+    when the caller takes batch N, batch N+1's ``jax.device_put`` (async) is
+    issued immediately, so the H2D transfer overlaps the step computing on
+    batch N.  The reference moves each batch synchronously inside its hot
+    loop (reference train.py:129-137); CLAUDE.md measured this environment's
+    tunnel at ~39 MB/s, which makes hiding the transfer significant.
+
+    ``transfer`` maps a host unit to its device-resident form (defaults to
+    plain ``jax.device_put``); pass a sharded put for mesh training.
+    """
+
+    def __init__(self, it: Iterator, transfer=None):
+        import jax
+
+        self._it = iter(it)
+        self._transfer = transfer if transfer is not None else jax.device_put
+        self._pending = self._fetch()
+
+    def _fetch(self):
+        try:
+            return self._transfer(next(self._it))
+        except StopIteration:
+            return None
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._pending is None:
+            raise StopIteration
+        current = self._pending
+        self._pending = self._fetch()
+        return current
+
+
 class Prefetcher:
     """Background-thread prefetch with a bounded queue (the reference caps at
     max_batch=3 via dict length polling, train.py:83-86)."""

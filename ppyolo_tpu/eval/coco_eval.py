@@ -134,31 +134,43 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
             yield (i, np.stack(pimages), np.stack(sizes), ids, raw_imgs, names)
             i += eval_batch_size
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..data.loader import Prefetcher
 
+    def write_one(dets, im_id, pred, raw_img, name):
+        """Per-image shard write (+ optional render) — off the device loop,
+        mirroring the reference's multi_thread_write_json
+        (cocotools.py:159-191, 248-251)."""
+        with open(os.path.join(bbox_dir, f"{im_id}.json"), "w") as f:
+            f.write(json.dumps(dets) + "\n")
+        if draw_image:
+            from .visualize import draw
+
+            keep = (pred[:, 0] >= 0) & (pred[:, 1] >= draw_thresh)
+            cn = class_names or [str(c) for c in range(1000)]
+            draw(raw_img, pred[keep, 2:6], pred[keep, 1],
+                 pred[keep, 0].astype(np.int32), cn)
+            cv2.imwrite(os.path.join(result_dir, "images",
+                                     os.path.basename(name)), raw_img)
+
+    writers = ThreadPoolExecutor(max_workers=4)
+    pending = []
     for (i, pimages, sizes, ids, raw_imgs, names) in Prefetcher(
             read_batches(), max_batch=3):
         preds = detector.predict_batch(pimages, sizes)
         for j, im_id in enumerate(ids):
             dets = detections_to_coco(preds[j], im_id, clsid2catid)
             all_dets.extend(dets)
-            with open(os.path.join(bbox_dir, f"{im_id}.json"), "w") as f:
-                f.write(json.dumps(dets) + "\n")
-            if draw_image:
-                from .visualize import draw
-
-                pred = preds[j]
-                keep = (pred[:, 0] >= 0) & (pred[:, 1] >= draw_thresh)
-                cn = class_names or [str(c) for c in range(1000)]
-                draw(raw_imgs[j], pred[keep, 2:6], pred[keep, 1],
-                     pred[keep, 0].astype(np.int32), cn)
-                cv2.imwrite(os.path.join(result_dir, "images",
-                                         os.path.basename(names[j])),
-                            raw_imgs[j])
+            pending.append(writers.submit(write_one, dets, im_id, preds[j],
+                                          raw_imgs[j], names[j]))
         done = i + eval_batch_size
         if done % (20 * eval_batch_size) == 0:
             elapsed = time.time() - start
             print(f"Test iter {done}, {done / max(elapsed, 1e-9):.1f} img/s")
+    for fut in pending:
+        fut.result()  # surface writer exceptions; all shards durable
+    writers.shutdown()
     cost = time.time() - start
     print(f"total time: {cost:.2f}s, speed: {n / max(cost, 1e-9):.1f} img/s")
 

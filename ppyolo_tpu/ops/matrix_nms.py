@@ -92,9 +92,16 @@ def _multiclass_nms_single(boxes, scores, *, score_threshold, nms_threshold,
 
     Capability slot for the reference's ``nms_type='multiclass_nms'`` branch
     (head.py:465-468, present but commented out there).  Candidates are the
-    two-stage top-k pairs; suppression is a sequential scan over the sorted
-    candidates (same-class IoU > nms_threshold suppresses), expressed as a
-    fori_loop over the fixed candidate count.
+    two-stage top-k pairs sorted by score.
+
+    Greedy keep is the unique fixpoint of
+        K[i] = valid[i] and not exists j<i: K[j] and IoU(j,i) > thr (same cls)
+    (the suppression graph only has earlier->later edges, so it's a DAG and
+    the fixpoint is unique = the sequential greedy result).  Instead of a
+    k-long sequential loop (serial on TPU), iterate the operator as a whole-
+    vector Jacobi update: each round is one vectorized [k,k] masked-any, and
+    the round count equals the longest suppression CHAIN (typically <10 for
+    detection boxes), with a while_loop fixpoint test for exactness.
     """
     a, c = scores.shape
     k = min(nms_top_k, a * c)
@@ -107,15 +114,21 @@ def _multiclass_nms_single(boxes, scores, *, score_threshold, nms_threshold,
 
     iou = pairwise_iou(cand, cand, eps=1e-9)
     same = labels[:, None] == labels[None, :]
-    suppress_pair = (iou > nms_threshold) & same            # [k, k]
+    order = jnp.arange(k)
+    earlier = order[:, None] < order[None, :]               # [j, i]: j before i
+    suppress = (iou > nms_threshold) & same & earlier       # j suppresses i
 
-    def body(i, keep):
-        # candidate i survives iff no kept earlier same-class box overlaps
-        sup = jnp.any(keep & suppress_pair[i] &
-                      (jnp.arange(k) < i))
-        return keep.at[i].set(valid[i] & ~sup)
+    def cond(st):
+        keep, prev, it = st
+        return jnp.any(keep != prev) & (it < k)
 
-    keep = lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    def body(st):
+        keep, _, it = st
+        new = valid & ~jnp.any(keep[:, None] & suppress, axis=0)
+        return new, keep, it + 1
+
+    keep, _, _ = lax.while_loop(cond, body,
+                                (valid, jnp.zeros((k,), bool), 0))
     final = jnp.where(keep, vals, -1.0)
     kk = min(keep_top_k, k)
     out_vals, out_idx = lax.top_k(final, kk)

@@ -58,6 +58,32 @@ def shard_train_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.jit(mapped)
 
 
+def shard_multi_train_step(multi_fn, mesh: Mesh, axis: str = DATA_AXIS,
+                           *, donate: bool = False):
+    """Mesh x scan: a ``make_multi_train_step`` program sharded over ``axis``.
+
+    Batch leaves carry [n_steps, B, ...]; the scan axis stays unsharded
+    (axis 0) and the batch axis is split over the mesh (axis 1), so one
+    dispatch runs n_steps data-parallel steps with psum'd grads + sync-BN.
+    ``donate=True`` reuses the state buffers in-place (training loop); leave
+    off when the caller still needs the input state (tests).
+    """
+    mapped = shard_map(
+        multi_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def put_scan_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Device-put a stacked scan batch ([n_steps, B, ...] leaves): scan axis
+    replicated, batch axis sharded."""
+    return _put_sharded(batch, NamedSharding(mesh, P(None, axis)))
+
+
 def make_sharded_predict(model, mesh: Mesh, axis: str = DATA_AXIS):
     """Data-parallel batched inference: batch sharded over ``axis``, params
     replicated, the whole decode+NMS pipeline partitioned by XLA (no
@@ -81,5 +107,16 @@ def put_replicated(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
+def _put_sharded(tree, sharding: NamedSharding):
+    """device_put with multi-host support: when the mesh spans processes,
+    each process contributes its local batch slice and the result is the
+    global array (jax.make_array_from_process_local_data)."""
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.device_put(tree, sharding)
+
+
 def put_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
-    return jax.device_put(batch, NamedSharding(mesh, P(axis)))
+    return _put_sharded(batch, NamedSharding(mesh, P(axis)))

@@ -45,8 +45,10 @@ def _run_reference_converter(script_name):
     """Exec a reference converter script with paddle + cuda + save stubbed."""
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    # append, not prepend: repo-root modules (train.py, demo.py, ...) must
+    # keep shadowing the reference's same-named scripts for later tests
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
 
     recorder = _KeyRecorder()
     fake_fluid = types.ModuleType("paddle.fluid")
@@ -70,6 +72,8 @@ def _run_reference_converter(script_name):
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+        while REFERENCE_ROOT in sys.path:
+            sys.path.remove(REFERENCE_ROOT)
     return recorder.keys_read
 
 

@@ -31,16 +31,21 @@ REFERENCE_ROOT = "/root/reference"
 
 @pytest.fixture(scope="module")
 def ref():
-    """Import the reference model package with .cuda() stubbed to no-op."""
+    """Import the reference model package with .cuda() stubbed to no-op.
+
+    APPEND the reference root (repo modules like train.py shadow the
+    reference's same-named scripts otherwise) and drop it again on teardown
+    so later tests never resolve imports into /root/reference.
+    """
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
     import model.ppyolo as ref_ppyolo
     import model.resnet_vd as ref_resnet
     import model.head as ref_head
 
-    return types.SimpleNamespace(
+    yield types.SimpleNamespace(
         PPYOLO=ref_ppyolo.PPYOLO,
         Resnet18Vd=ref_resnet.Resnet18Vd,
         Resnet50Vd=ref_resnet.Resnet50Vd,
@@ -48,6 +53,8 @@ def ref():
         yolo_box=ref_head.yolo_box,
         get_iou_aware_score=ref_head.get_iou_aware_score,
     )
+    while REFERENCE_ROOT in sys.path:
+        sys.path.remove(REFERENCE_ROOT)
 
 
 def _randomized_state_dict(ref_model, seed):

@@ -247,3 +247,41 @@ def test_remat_step_matches_plain():
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_scan_matches_sequential_sharded_steps():
+    """scan_steps>1 under a mesh (shard_multi_train_step) must equal the same
+    batches run through the plain sharded step one at a time."""
+    from ppyolo_tpu.train.train_step import make_multi_train_step
+    from ppyolo_tpu.parallel import shard_multi_train_step, put_scan_batch
+
+    cfg = TinyCfg(norm="sync_bn", drop_block=False)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    batches = [make_batch(8, size=64, seed=s) for s in (0, 1)]
+    rng = jax.random.PRNGKey(9)
+
+    # sequential: two sharded single steps with the scan's per-step keys
+    seq = shard_train_step(make_train_step(model, cfg, axis_name="data"), mesh)
+    state_a = put_replicated(init_train_state(model, params, cfg), mesh)
+    keys = jax.random.split(rng, 2)
+    for b, k in zip(batches, keys):
+        state_a, losses_a = seq(state_a, put_batch(b, mesh), k)
+
+    # fused: one mesh x scan dispatch over the stacked batches
+    multi = make_multi_train_step(model, cfg, n_steps=2, axis_name="data")
+    fused = shard_multi_train_step(multi, mesh)
+    state_b = put_replicated(init_train_state(model, params, cfg), mesh)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    state_b, losses_b = fused(state_b, put_scan_batch(stacked, mesh), rng)
+
+    for k in losses_a:
+        np.testing.assert_allclose(float(losses_a[k]),
+                                   float(losses_b[k][-1]),
+                                   rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

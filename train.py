@@ -61,9 +61,10 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                                        resume_step_from_filename,
                                        gc_checkpoints)
     from ppyolo_tpu.data import (CocoJson, category_maps, data_clean,
-                                 train_batches, Prefetcher)
+                                 train_batches, Prefetcher, DevicePrefetcher)
     from ppyolo_tpu.parallel import (make_mesh, shard_train_step,
-                                     put_replicated, put_batch)
+                                     shard_multi_train_step, put_replicated,
+                                     put_batch, put_scan_batch)
     from ppyolo_tpu.eval import Detector, coco_eval
 
     tc = cfg.train_cfg
@@ -114,12 +115,20 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         step_fn = jax.jit(make_train_step(model, cfg, compute_dtype=compute_dtype),
                           donate_argnums=(0,))
     scan_steps = int(tc.get("scan_steps", 1))
-    if scan_steps > 1 and not use_mesh:
-        multi_fn = jax.jit(make_multi_train_step(
-            model, cfg, n_steps=scan_steps, compute_dtype=compute_dtype),
-            donate_argnums=(0,))
-    else:
-        scan_steps = 1
+    if scan_steps > 1:
+        multi = make_multi_train_step(
+            model, cfg, n_steps=scan_steps, compute_dtype=compute_dtype,
+            axis_name="data" if use_mesh else None)
+        if use_mesh:
+            multi_fn = shard_multi_train_step(multi, mesh, donate=True)
+        else:
+            multi_fn = jax.jit(multi, donate_argnums=(0,))
+
+    # multi-host: each process reads a disjoint record shard and contributes
+    # its local slice of the global batch; checkpoints/eval run on process 0
+    n_hosts = jax.process_count()
+    host_id = jax.process_index()
+    is_main = host_id == 0
 
     # dataset
     coco = CocoJson(cfg.train_path)
@@ -127,10 +136,14 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     records = data_clean(coco, coco.get_img_ids(), catid2clsid,
                          cfg.train_pre_path)
     logger.info("%d samples in train set.", len(records))
+    if n_hosts > 1:
+        logger.info("host %d/%d reads %d-record shard", host_id, n_hosts,
+                    len(records[host_id::n_hosts]))
 
     batches = Prefetcher(
         train_batches(records, cfg, seed=0, start_iter=start_iter,
-                      shape_group=scan_steps),
+                      shape_group=scan_steps, num_shards=n_hosts,
+                      shard_id=host_id),
         max_batch=max(tc.get("max_batch", 3), scan_steps))
 
     os.makedirs(weights_dir, exist_ok=True)
@@ -146,45 +159,87 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
             "targets": batch["targets"],
         }
 
-    batch_iter = iter(batches)
+    def host_units():
+        """Dispatch units: one batch, or scan_steps batches stacked."""
+        batch_iter = iter(batches)
+        while True:
+            if scan_steps > 1:
+                group = [to_device_batch(next(batch_iter))
+                         for _ in range(scan_steps)]
+                stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+                yield stacked, sum(g["image"].shape[0] for g in group)
+            else:
+                b = next(batch_iter)
+                yield to_device_batch(b), b["image"].shape[0]
+
+    def transfer(unit):
+        data, nimg = unit
+        if use_mesh:
+            data = (put_scan_batch(data, mesh) if scan_steps > 1
+                    else put_batch(data, mesh))
+        else:
+            data = jax.device_put(data)
+        return data, nimg
+
+    # double-buffer: batch N+1's H2D overlaps step N's compute
+    unit_iter = DevicePrefetcher(host_units(), transfer)
     it = int(np.asarray(state.step))  # one sync at start; tracked on host
+
+    # MFU accounting (reference logs only imgs/s): XLA cost analysis of the
+    # dispatched program, lazily per input shape (tracing only, no compile)
+    from ppyolo_tpu.utils.mfu import program_flops, mfu as mfu_frac
+    flops_by_shape = {}
+
+    def unit_flops(device_batch, sub):
+        shp = tuple(device_batch["image"].shape)
+        if shp not in flops_by_shape:
+            fn = multi_fn if scan_steps > 1 else step_fn
+            f = program_flops(fn, state, device_batch, sub)
+            # XLA cost analysis counts a while/scan body ONCE (trip count is
+            # not folded in — verified on the v5e backend: scan-16 program
+            # reports ~= the single step's flops), so scale by scan_steps
+            flops_by_shape[shp] = f * scan_steps if f else f
+        return flops_by_shape[shp]
+
     while True:
         t0 = time.time()
         rng, sub = jax.random.split(rng)
+        device_batch, nimg = next(unit_iter)
+        will_log = (it + scan_steps) % 20 < scan_steps
+        flops = unit_flops(device_batch, sub) if will_log else None
         if scan_steps > 1:
-            group = [to_device_batch(next(batch_iter))
-                     for _ in range(scan_steps)]
-            stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
-            state, losses = multi_fn(state, stacked, sub)
+            state, losses = multi_fn(state, device_batch, sub)
             losses = {k: v[-1] for k, v in losses.items()}
-            nimg = sum(g["image"].shape[0] for g in group)
         else:
-            batch = next(batch_iter)
-            device_batch = to_device_batch(batch)
-            if use_mesh:
-                device_batch = put_batch(device_batch, mesh)
             state, losses = step_fn(state, device_batch, sub)
-            nimg = batch["image"].shape[0]
         it += scan_steps
 
-        if it % 20 < scan_steps:
+        if will_log:
             losses = {k: float(np.asarray(v)) for k, v in losses.items()}
             time_q.append(time.time() - t0)
-            spd = nimg / (sum(time_q) / len(time_q))
+            unit_s = sum(time_q) / len(time_q)
+            spd = nimg / unit_s
             msg = ", ".join(f"{k}={float(v):.3f}" for k, v in losses.items())
-            eta_s = (tc["max_iters"] - it) * (sum(time_q) / len(time_q)) / scan_steps
-            logger.info("iter %d, %s, %.1f imgs/s, eta %.1fh",
-                        it, msg, spd, eta_s / 3600)
+            eta_s = (tc["max_iters"] - it) * unit_s / scan_steps
+            u = mfu_frac(flops, unit_s, n_chips=ndev)
+            perf = ""
+            if flops:
+                perf = f", {flops / unit_s / 1e12:.2f} TFLOP/s"
+                if u is not None:
+                    perf += f" (mfu {u:.1%})"
+            logger.info("iter %d, %s, %.1f imgs/s%s, eta %.1fh",
+                        it, msg, spd, perf, eta_s / 3600)
 
-        if it % tc["save_iter"] < scan_steps and it >= tc["save_iter"]:
+        if (is_main and it % tc["save_iter"] < scan_steps
+                and it >= tc["save_iter"]):
             eval_params = state.ema if state.ema is not None else state.params
             save_params_npz(os.path.join(weights_dir, f"step{it:08d}.npz"), eval_params)
             save_train_state(os.path.join(weights_dir, "last_state.npz"), state)
             gc_checkpoints(weights_dir, keep=10)
             logger.info("saved %s/step%08d.npz", weights_dir, it)
 
-        if (it % tc["eval_iter"] < scan_steps and it >= tc["eval_iter"]
-                and os.path.exists(cfg.val_path)):
+        if (is_main and it % tc["eval_iter"] < scan_steps
+                and it >= tc["eval_iter"] and os.path.exists(cfg.val_path)):
             eval_params = state.ema if state.ema is not None else state.params
             if eval_det is None:
                 eval_det = Detector(model, eval_params, cfg,
