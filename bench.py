@@ -6,10 +6,11 @@ batched Matrix-NMS INCLUDED on device.
 Reference protocol: 50 images after 10-iter warmup, 16.6 FPS on a GTX
 1660 Ti (demo.py:120-160, README.md:23).  On TPU the production-serving
 configuration is batched + dispatch-pipelined: bf16 with folded BN (decode
-and NMS stay fp32), batches of 4 scanned 4-at-a-time inside one device
+and NMS stay fp32), batches of 8 scanned 64-at-a-time inside one device
 dispatch (`lax.scan`, as a serving queue would), detections synced to host
-per dispatch.  Batch 4 (not 8) because larger batches fault this
-environment's TPU relay.
+per dispatch.  Round-1's batch-8 relay fault no longer reproduces (bisected
+backbone/head/full at batch 8: all clean — it was environment-transient);
+if the relay faults, one retry falls back to the batch-4 config.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,12 +20,14 @@ import time
 import numpy as np
 
 BASELINE_FPS = 16.6  # reference README.md:13 (ppyolo_2x @608, GTX 1660 Ti)
-BATCH = 4
-GROUP = 16           # batches per scanned dispatch
+BATCH = 8
+GROUP = 64           # batches per scanned dispatch
 SIZE = 608
 
 
-def main():
+def main(batch=None, group=None):
+    batch = batch or BATCH
+    group = group or GROUP
     import jax
     import jax.numpy as jnp
     from configs import PPYOLO_2x_Config
@@ -47,15 +50,15 @@ def main():
         return outs
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(GROUP, BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+    images = jnp.asarray(rng.rand(group, batch, SIZE, SIZE, 3), jnp.bfloat16)
     im_size = jnp.asarray(
-        np.tile(np.array([[480, 640]], np.float32), (GROUP, BATCH, 1)))
+        np.tile(np.array([[480, 640]], np.float32), (group, batch, 1)))
 
     for _ in range(6):  # warmup/compile, synced (unsynced dispatch queues
         out = predict_many(params, images, im_size)  # can fault the relay)
         np.asarray(out)
 
-    n_disp = max(64 // (GROUP * BATCH), 3)
+    n_disp = max(64 // (group * batch), 3)
     fps = 0.0
     for _round in range(3):  # best-of-3: the tunnel adds +-8% call jitter
         t0 = time.time()
@@ -63,11 +66,11 @@ def main():
             out = predict_many(params, images, im_size)
             np.asarray(out)  # [G,B,100,6] D2H sync per dispatch
         cost = time.time() - t0
-        fps = max(fps, n_disp * GROUP * BATCH / cost)
+        fps = max(fps, n_disp * group * batch / cost)
 
     print(json.dumps({
         "metric": "ppyolo_2x 608x608 serving throughput per chip (bf16+BN-"
-                  "fold, batch 4 x scan 16, Matrix-NMS on device)",
+                  f"fold, batch {batch} x scan {group}, Matrix-NMS on device)",
         "value": round(fps, 2),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
@@ -77,6 +80,6 @@ def main():
 if __name__ == "__main__":
     try:
         main()
-    except Exception:  # transient axon relay faults: one retry after cooldown
-        time.sleep(120)
-        main()
+    except Exception:  # transient axon relay faults: cooldown, then the
+        time.sleep(150)  # conservative batch-4 config that never faulted
+        main(batch=4, group=16)
