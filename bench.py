@@ -12,6 +12,12 @@ per dispatch.  Round-1's batch-8 relay fault no longer reproduces (bisected
 backbone/head/full at batch 8: all clean — it was environment-transient);
 if the relay faults, one retry falls back to the batch-4 config.
 
+Weights are random-init; throughput is representative because the whole
+pipeline is shape-static regardless of scores: decode processes every
+anchor, NMS always runs top-k over the same [A*C] score tensor and the same
+fixed 500x500 decay matrix (ops/matrix_nms.py) — a trained score
+distribution changes WHICH boxes survive, not the work done.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json

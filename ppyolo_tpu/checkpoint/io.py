@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import re
 import glob
+import threading
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -19,9 +20,17 @@ import jax.numpy as jnp
 from ..ops.module import flatten_tree, unflatten_tree
 
 
+def _write_npz_atomic(path: str, flat: Dict[str, np.ndarray]) -> None:
+    """Write to a tmp name then rename: a crash mid-write never leaves a
+    truncated checkpoint under the real name (and GC globs never see it)."""
+    tmp = path + ".tmp.npz"  # np.savez appends .npz to other suffixes
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
 def save_params_npz(path: str, params: Dict[str, Any]) -> None:
     flat = {k: np.asarray(v) for k, v in flatten_tree(params).items()}
-    np.savez(path, **flat)
+    _write_npz_atomic(path, flat)
 
 
 def load_params_npz(path: str, params: Dict[str, Any],
@@ -49,9 +58,7 @@ def load_params_npz(path: str, params: Dict[str, Any],
     return unflatten_tree(flat)
 
 
-def save_train_state(path: str, state) -> None:
-    """Bundle params + velocity + EMA + step in one npz (the reference loses
-    optimizer momentum and EMA on resume — SURVEY.md §5 failure-recovery)."""
+def _state_to_flat(state) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in flatten_tree(state.params).items():
         out[f"params/{k}"] = np.asarray(v)
@@ -61,7 +68,47 @@ def save_train_state(path: str, state) -> None:
         for k, v in flatten_tree(state.ema).items():
             out[f"ema/{k}"] = np.asarray(v)
     out["step"] = np.asarray(state.step)
-    np.savez(path, **out)
+    return out
+
+
+def save_train_state(path: str, state) -> None:
+    """Bundle params + velocity + EMA + step in one npz (the reference loses
+    optimizer momentum and EMA on resume — SURVEY.md §5 failure-recovery)."""
+    _write_npz_atomic(path, _state_to_flat(state))
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization/IO with training.
+
+    The device->host fetch stays synchronous (the next step DONATES the
+    state buffers, so they must be read before it dispatches), but the npz
+    encode + disk write — the bulk of the wall time for a ~180 MB bundle —
+    run on a background thread.  One write in flight at a time: a new save
+    joins the previous one first, so checkpoints land in order.  Writes are
+    atomic (tmp + rename), so a crash mid-write never corrupts the newest
+    checkpoint.  Call ``wait()`` before reading a just-saved file.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def _submit(self, fn) -> None:
+        self.wait()
+        self._thread = threading.Thread(target=fn, daemon=False)
+        self._thread.start()
+
+    def save_params(self, path: str, params: Dict[str, Any]) -> None:
+        flat = {k: np.asarray(v) for k, v in flatten_tree(params).items()}
+        self._submit(lambda: _write_npz_atomic(path, flat))
+
+    def save_state(self, path: str, state) -> None:
+        flat = _state_to_flat(state)
+        self._submit(lambda: _write_npz_atomic(path, flat))
 
 
 def load_train_state(path: str, state):

@@ -153,3 +153,26 @@ def test_paddle_pickle_loading(tmp_path):
     out = load_paddle_state_dict(str(p))
     assert set(out) == set(sd)
     assert out["conv1_1_weights"].shape == (32, 3, 3, 3)
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """Async save must produce byte-identical trees to sync save, land
+    atomically (no .tmp residue), and wait() must make the file durable."""
+    import jax
+    import jax.numpy as jnp
+    from ppyolo_tpu.checkpoint import AsyncCheckpointer, load_params_npz
+    from ppyolo_tpu.checkpoint.io import save_params_npz
+
+    params = {"a": {"w": jnp.arange(12.0).reshape(3, 4)},
+              "b": jnp.ones((5,), jnp.float32)}
+    ck = AsyncCheckpointer()
+    ck.save_params(str(tmp_path / "async.npz"), params)
+    ck.wait()
+    save_params_npz(str(tmp_path / "sync.npz"), params)
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    a = load_params_npz(str(tmp_path / "async.npz"), zeros)
+    s = load_params_npz(str(tmp_path / "sync.npz"), zeros)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(s)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]

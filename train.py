@@ -58,6 +58,7 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     from ppyolo_tpu.train.train_step import make_multi_train_step
     from ppyolo_tpu.checkpoint import (load_params_npz, save_params_npz,
                                        save_train_state, load_train_state,
+                                       AsyncCheckpointer,
                                        resume_step_from_filename,
                                        gc_checkpoints)
     from ppyolo_tpu.data import (CocoJson, category_maps, data_clean,
@@ -147,6 +148,7 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         max_batch=max(tc.get("max_batch", 3), scan_steps))
 
     os.makedirs(weights_dir, exist_ok=True)
+    ckpt = AsyncCheckpointer()
     best_ap = -1.0
     eval_det = None  # reused across periodic evals (set_params avoids retrace)
     time_q = deque(maxlen=20)
@@ -233,8 +235,11 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         if (is_main and it % tc["save_iter"] < scan_steps
                 and it >= tc["save_iter"]):
             eval_params = state.ema if state.ema is not None else state.params
-            save_params_npz(os.path.join(weights_dir, f"step{it:08d}.npz"), eval_params)
-            save_train_state(os.path.join(weights_dir, "last_state.npz"), state)
+            # async: device->host fetch here, npz encode + write off-loop
+            ckpt.save_params(os.path.join(weights_dir, f"step{it:08d}.npz"),
+                             eval_params)
+            ckpt.save_state(os.path.join(weights_dir, "last_state.npz"), state)
+            ckpt.wait()  # GC must see the finished file
             gc_checkpoints(weights_dir, keep=10)
             logger.info("saved %s/step%08d.npz", weights_dir, it)
 
@@ -256,9 +261,11 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
             logger.info("box ap: %.4f (best %.4f)", ap, best_ap)
             if ap > best_ap:
                 best_ap = ap
-                save_params_npz(os.path.join(weights_dir, "best_model.npz"), eval_params)
+                ckpt.save_params(os.path.join(weights_dir, "best_model.npz"),
+                                 eval_params)
 
         if it >= tc["max_iters"]:
+            ckpt.wait()
             logger.info("done at iter %d", it)
             return state
 
