@@ -193,8 +193,8 @@ class ConvNormAct(Module):
             )
             k2 = self.ksize * self.ksize
             if jax.default_backend() == "tpu":
-                # Pallas one-hot-matmul kernel (3-6x the XLA gather lowering);
-                # backward runs the jnp formulation's autodiff via custom_vjp
+                # Pallas one-hot-matmul kernels, forward AND backward (3-6x
+                # the XLA gather lowering; col2im scatters become matmuls)
                 from .deform_conv_pallas import deform_conv2d_fast as _dcn
             else:
                 _dcn = deform_conv2d

@@ -18,9 +18,22 @@ Numerics: S and the matmuls run in bf16 with fp32 accumulation; corner
 indices/weights are computed in fp32 on the XLA side with exactly the
 reference clamping semantics (custom_layers.py:612-615 in padded coords).
 
-Backward: ``deform_conv2d_fast`` wraps the kernel in a custom_vjp whose
-backward differentiates the (mathematically identical) jnp formulation —
-training uses the jnp path's autodiff, inference gets the fast kernel.
+Backward: ``deform_conv2d_fast`` wraps the kernel in a custom_vjp.  The
+default backward is a second Pallas kernel over the same (N, k2) grid
+(replacing the CUDA col2im/col2im_coord scatter kernels,
+dcn_v2_im2col_cuda.cu:197-327, with MXU matmuls):
+
+  d_masked[n,k]  = g @ W_k^T                      (XLA batched matmul)
+  d_mod[n,k,p]   = sum_c d_masked * (S @ x)       (kernel, VPU)
+  d_sampled      = d_masked * mod                 (kernel)
+  d_x[n]        += S^T @ d_sampled                (kernel, MXU — the col2im
+                                                   scatter becomes a matmul)
+  dS             = d_sampled @ x^T                (kernel, MXU)
+  d_wgt[p,c]     = sum_q onehot_c * dS            (kernel, VPU)
+  d_W[k]         = (S@x * mod)^T @ g              (XLA, from kernel-saved S@x)
+  d_offset/mask  = jax.vjp of the corner tables fed (d_wgt, d_mod)
+
+``bwd="onehot"`` falls back to XLA autodiff of ``deform_conv2d_onehot``.
 """
 from __future__ import annotations
 
@@ -208,35 +221,167 @@ def deform_conv2d_pallas(x, weight, offset, mask, *, stride: int = 1,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _dcn_fast(x, weight, offset, mask, stride, padding):
-    return deform_conv2d_pallas(x, weight, offset, mask, stride=stride,
-                                padding=padding)
+def _bwd_kernel(idx_ref, wgt_ref, mod_ref, x_ref, dm_ref,
+                dx_ref, dwgt_ref, dmod_ref, samp_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    P, Q = idx_ref.shape[2], x_ref.shape[1]
+    row_q = lax.broadcasted_iota(jnp.int32, (P, Q), 1)
+    idx = idx_ref[0, 0]                                        # [P, 4]
+    wgt = wgt_ref[0, 0]
+    x = x_ref[0]                                               # [Q, C] bf16
+    dm = dm_ref[0, 0].astype(jnp.float32)                      # [P, C]
+
+    # build S directly in bf16 — the MXU consumes it in bf16 either way
+    sb = jnp.zeros((P, Q), jnp.bfloat16)
+    for c in range(4):
+        sel = (row_q == idx[:, c:c + 1])
+        sb = sb + jnp.where(sel, wgt[:, c:c + 1], 0.0).astype(jnp.bfloat16)
+
+    sampled = jnp.dot(sb, x, preferred_element_type=jnp.float32)   # [P, C]
+    samp_ref[0, 0] = sampled.astype(jnp.bfloat16)
+    dmod_ref[0, 0] = jnp.sum(dm * sampled, axis=-1, keepdims=True)
+    dsamp = (dm * mod_ref[0, 0]).astype(jnp.bfloat16)              # [P, C]
+    # col2im as a matmul: d_x += S^T @ d_sampled  (contract P)
+    dx_ref[0] += lax.dot_general(sb, dsamp, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    # col2im_coord: dS = d_sampled @ x^T (contract C), reduce per corner
+    ds = lax.dot_general(dsamp, x, (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)       # [P, Q]
+    dwgt = [jnp.sum((row_q == idx[:, c:c + 1]).astype(jnp.float32) * ds,
+                    axis=1) for c in range(4)]
+    dwgt_ref[0, 0] = jnp.stack(dwgt, axis=-1)
 
 
-def _dcn_fast_fwd(x, weight, offset, mask, stride, padding):
-    return _dcn_fast(x, weight, offset, mask, stride, padding), \
-        (x, weight, offset, mask)
+def _dcn_bwd_pallas(x, weight, offset, mask, g, *, stride: int,
+                    padding: int, interpret: Optional[bool] = None):
+    """Pallas backward of DCNv2: (dx, dweight, doffset, dmask)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, H, W, C = x.shape
+    kh, kw, _, out_c = weight.shape
+    k2 = kh * kw
+    oH = (H + 2 * padding - (kh - 1) - 1) // stride + 1
+    oW = (W + 2 * padding - (kw - 1) - 1) // stride + 1
+    P, Q = oH * oW, H * W
+    Pp, Qp = _round_up(P, 8), _round_up(Q, 128)
+
+    def tables(o, m):
+        _, w_, m_ = _corner_tables(o, m, H, W, oH, oW, kh, kw, stride,
+                                   padding)
+        return w_, m_
+
+    (wgt, mod), tab_vjp = jax.vjp(tables, offset, mask)
+    idx, _, _ = _corner_tables(offset, mask, H, W, oH, oW, kh, kw, stride,
+                               padding)
+    idx = jnp.pad(idx, ((0, 0), (0, 0), (0, Pp - P), (0, 0)),
+                  constant_values=-1)
+    wgt_p = jnp.pad(wgt, ((0, 0), (0, 0), (0, Pp - P), (0, 0)))
+    mod_p = jnp.pad(mod, ((0, 0), (0, 0), (0, Pp - P), (0, 0)))
+    xf = jnp.pad(x.reshape(N, Q, C).astype(jnp.bfloat16),
+                 ((0, 0), (0, Qp - Q), (0, 0)))
+    gf = jnp.pad(g.reshape(N, P, out_c).astype(jnp.float32),
+                 ((0, 0), (0, Pp - P), (0, 0)))
+    wk = weight.reshape(k2, C, out_c)
+    dm = jnp.einsum("npo,kco->nkpc", gf.astype(jnp.bfloat16),
+                    wk.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    dx_p, dwgt_p, dmod_p, samp = pl.pallas_call(
+        _bwd_kernel,
+        grid=(N, k2),
+        in_specs=[
+            pl.BlockSpec((1, 1, Pp, 4), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp, 4), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp, 1), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, C), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp, C), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Qp, C), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp, 4), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp, 1), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp, C), lambda n, k: (n, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Qp, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, k2, Pp, 4), jnp.float32),
+            jax.ShapeDtypeStruct((N, k2, Pp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, k2, Pp, C), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * k2 * Pp * (3 * Qp * C + Qp + 2 * C),
+            bytes_accessed=N * (Qp * C * 6 + k2 * Pp * (8 * C + 48)),
+            transcendentals=0,
+        ),
+        # stage-5-entry blocks (Qp=1536, C=512) need ~17.5 MB of scoped VMEM;
+        # the 16 MB default is a compiler cap, not the v5e's 128 MB physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(idx, wgt_p, mod_p, xf, dm)
+
+    dx = dx_p[:, :Q, :].reshape(N, H, W, C).astype(x.dtype)
+    dw = jnp.einsum("nkpc,npo->kco", (samp * mod_p).astype(jnp.bfloat16),
+                    gf.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(kh, kw, C, out_c).astype(weight.dtype)
+    doff, dmask = tab_vjp((dwgt_p[:, :, :P, :], dmod_p[:, :, :P, :]))
+    return dx, dw, doff.astype(offset.dtype), dmask.astype(mask.dtype)
 
 
-def _dcn_fast_bwd(stride, padding, res, g):
-    x, weight, offset, mask = res
-    # differentiate the one-hot formulation: backward is matmul transposes,
-    # no scatter-add (the gather formulation's vjp lowers to TPU scatter)
-    _, vjp = jax.vjp(
-        lambda x_, w_, o_, m_: deform_conv2d_onehot(
-            x_, w_, o_, m_, stride=stride, padding=padding),
-        x, weight, offset, mask)
-    return vjp(g)
+def _make_dcn_fast(bwd: str):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+    def fn(x, weight, offset, mask, stride, padding):
+        return deform_conv2d_pallas(x, weight, offset, mask, stride=stride,
+                                    padding=padding)
+
+    def fwd(x, weight, offset, mask, stride, padding):
+        return fn(x, weight, offset, mask, stride, padding), \
+            (x, weight, offset, mask)
+
+    def bwd_fn(stride, padding, res, g):
+        x, weight, offset, mask = res
+        if bwd == "pallas":
+            return _dcn_bwd_pallas(x, weight, offset, mask, g,
+                                   stride=stride, padding=padding)
+        # XLA autodiff of the one-hot formulation: matmul transposes, no
+        # scatter-add, but materializes [N,k2,P,4,Q] selection tensors in HBM
+        _, vjp = jax.vjp(
+            lambda x_, w_, o_, m_: deform_conv2d_onehot(
+                x_, w_, o_, m_, stride=stride, padding=padding),
+            x, weight, offset, mask)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd_fn)
+    return fn
 
 
-_dcn_fast.defvjp(_dcn_fast_fwd, _dcn_fast_bwd)
+_dcn_fast = _make_dcn_fast("pallas")
+_dcn_fast_onehot_bwd = _make_dcn_fast("onehot")
 
 
 def deform_conv2d_fast(x, weight, offset, mask, *, stride: int = 1,
-                       padding: int = 1, bias=None):
-    """Differentiable DCNv2 with the Pallas forward (jnp-autodiff backward)."""
-    out = _dcn_fast(x, weight, offset, mask, stride, padding)
+                       padding: int = 1, bias=None, bwd: str = "pallas"):
+    """Differentiable DCNv2, Pallas forward + Pallas backward kernels.
+
+    ``bwd``: "pallas" (default) or "onehot" (XLA autodiff fallback).
+    """
+    fn = _dcn_fast if bwd == "pallas" else _dcn_fast_onehot_bwd
+    out = fn(x, weight, offset, mask, stride, padding)
     if bias is not None:
         out = out + bias
     return out
