@@ -27,11 +27,27 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _bce(logit_sig, target, eps: float = 1e-9):
-    """Reference-form binary cross entropy on already-sigmoided input."""
-    return target * (-jnp.log(logit_sig + eps)) + (1.0 - target) * (
-        -jnp.log(1.0 - logit_sig + eps)
-    )
+# The reference guards its BCE with +1e-9 inside the logs
+# (model/losses.py:179-183,221,351-352).  That form is UNSAFE under the TPU
+# XLA pipeline: with --xla_allow_excess_precision the compiler may
+# reassociate ``1.0 - sig + 1e-9`` into ``(1.0 + 1e-9) - sig`` and fold the
+# two constants to 1.0 — the guard vanishes and a sigmoid that rounds to
+# exactly 1.0f (any logit >= ~17) yields log(0) = -inf, then 0*inf = NaN
+# under the target mask.  We therefore compute BCE from LOGITS via softplus
+# (exact and eps-free), capped at -log(1e-9) so the saturation behaviour
+# matches the reference's eps-as-loss-cap semantics.
+_EPS_CAP = 20.72326583694641  # -log(1e-9)
+
+
+def _bce_logits(logit, target, cap: float = _EPS_CAP):
+    """Binary cross entropy from logits, reassociation-proof.
+
+    Equals the reference's ``t*(-log(s+1e-9)) + (1-t)*(-log(1-s+1e-9))``
+    (s = sigmoid(logit)) up to the eps smoothing, including its cap.
+    """
+    pos = jnp.minimum(jax.nn.softplus(-logit), cap)   # -log(sigmoid(x))
+    neg = jnp.minimum(jax.nn.softplus(logit), cap)    # -log(1-sigmoid(x))
+    return target * pos + (1.0 - target) * neg
 
 
 def _grids(s: int, dtype):
@@ -98,7 +114,10 @@ def _ciou_term(pred, gt, iouk, eps: float = 1e-10):
     diou = (dist_inter + eps) / (dist_union + eps)
     arctan = jnp.arctan(wg / hg) - jnp.arctan(w / h)
     ar_loss = 4.0 / (jnp.pi ** 2) * arctan * arctan
-    alpha = lax.stop_gradient(ar_loss / (1.0 - iouk + ar_loss + eps))
+    # maximum() guard instead of +eps: XLA excess precision may fold the two
+    # constants (1.0 + eps -> 1.0) and expose a 0/0 for identical boxes
+    alpha = lax.stop_gradient(
+        ar_loss / jnp.maximum(1.0 - iouk + ar_loss, eps))
     return diou + alpha * ar_loss
 
 
@@ -131,14 +150,16 @@ class IouAwareLoss(IouLoss):
     def __init__(self, loss_weight=1.0, max_height=608, max_width=608):
         super().__init__(loss_weight=loss_weight)
 
-    def __call__(self, ioup, x, y, w, h, tx, ty, tw, th, anchors_wh,
+    def __call__(self, ioup_logit, x, y, w, h, tx, ty, tw, th, anchors_wh,
                  downsample, scale_x_y):
         pred = _bbox_transform(x, y, w, h, anchors_wh, downsample, scale_x_y,
                                is_gt=False)
         gt = _bbox_transform(tx, ty, tw, th, anchors_wh, downsample, scale_x_y,
                              is_gt=True)
         iouk = lax.stop_gradient(_elementwise_iou(pred, gt))
-        return iouk * (-jnp.log(ioup + 1e-9)) * self.loss_weight
+        # -log(sigmoid(ioup_logit) + 1e-9) via the stable capped softplus
+        nlog_ioup = jnp.minimum(jax.nn.softplus(-ioup_logit), _EPS_CAP)
+        return iouk * nlog_ioup * self.loss_weight
 
 
 class YOLOv3Loss:
@@ -177,9 +198,9 @@ class YOLOv3Loss:
             scale_x_y = (self.scale_x_y if not isinstance(self.scale_x_y, (list, tuple))
                          else self.scale_x_y[i])
 
-            ioup = None
+            ioup_logit = None
             if self.iou_aware_loss is not None:
-                ioup = jax.nn.sigmoid(output[..., :an])        # [N,S,S,an]
+                ioup_logit = output[..., :an]                  # [N,S,S,an]
                 output = output[..., an:]
             out = output.reshape(n, s, s, an, 5 + num_classes)
             x, y = out[..., 0], out[..., 1]
@@ -193,8 +214,8 @@ class YOLOv3Loss:
             tscale_tobj = tscale * tobj
 
             if abs(scale_x_y - 1.0) < 1e-10:
-                loss_x = _bce(jax.nn.sigmoid(x), tx) * tscale_tobj
-                loss_y = _bce(jax.nn.sigmoid(y), ty) * tscale_tobj
+                loss_x = _bce_logits(x, tx) * tscale_tobj
+                loss_y = _bce_logits(y, ty) * tscale_tobj
             else:
                 dx = scale_x_y * jax.nn.sigmoid(x) - 0.5 * (scale_x_y - 1.0)
                 dy = scale_x_y * jax.nn.sigmoid(y) - 0.5 * (scale_x_y - 1.0)
@@ -210,15 +231,16 @@ class YOLOv3Loss:
                                    downsample, scale_x_y) * tscale_tobj
                 losses["loss_iou"] += jnp.mean(jnp.sum(li, axis=(1, 2, 3)))
             if self.iou_aware_loss is not None:
-                la = self.iou_aware_loss(ioup, x, y, w, h, tx, ty, tw, th,
-                                         anchors_wh, downsample, scale_x_y) * tobj
+                la = self.iou_aware_loss(ioup_logit, x, y, w, h, tx, ty, tw,
+                                         th, anchors_wh, downsample,
+                                         scale_x_y) * tobj
                 losses["loss_iou_aware"] += jnp.mean(jnp.sum(la, axis=(1, 2, 3)))
 
             pos, neg = self._obj_loss(x, y, w, h, obj, tobj, gt_box, anchors_wh,
                                       downsample, scale_x_y, cls)
             losses["loss_obj"] += jnp.mean(pos + neg)
 
-            loss_cls = jnp.sum(_bce(jax.nn.sigmoid(cls), tcls), axis=-1) * tobj
+            loss_cls = jnp.sum(_bce_logits(cls, tcls), axis=-1) * tobj
             losses["loss_cls"] += jnp.mean(jnp.sum(loss_cls, axis=(1, 2, 3)))
         return losses
 
@@ -252,9 +274,11 @@ class YOLOv3Loss:
 
         obj_mask = (tobj > 0.0).astype(jnp.float32)
         noobj_mask = (1.0 - obj_mask) * iou_mask
-        sig_obj = jax.nn.sigmoid(obj)
-        pos = jnp.sum(tobj * (-jnp.log(sig_obj + 1e-9)), axis=(1, 2, 3))
-        neg = jnp.sum(noobj_mask * (-jnp.log(1.0 - sig_obj + 1e-9)), axis=(1, 2, 3))
+        # capped softplus == the reference's eps-guarded logs (losses.py:351-352)
+        nlog_sig = jnp.minimum(jax.nn.softplus(-obj), _EPS_CAP)
+        nlog_one_minus = jnp.minimum(jax.nn.softplus(obj), _EPS_CAP)
+        pos = jnp.sum(tobj * nlog_sig, axis=(1, 2, 3))
+        neg = jnp.sum(noobj_mask * nlog_one_minus, axis=(1, 2, 3))
         return pos, neg
 
 
