@@ -51,27 +51,44 @@ def assemble_batch(samples: List[dict], cfg, rng: np.random.RandomState,
         random_inter=cfg.randomShape.get("random_inter", False))
     normalizer = T.NormalizeImage(**cfg.normalizeImage)
     permuter = T.Permute(**cfg.permute)
+    # device_normalize (default on): ship uint8 and let the jitted train
+    # step apply (x/255 - mean)/std — 4x less H2D and no fp32 normalize on
+    # the host.  Pixels are still 0..255 floats here (augmentations), so
+    # the uint8 round-trip quantizes by <=0.5/255 — below augmentation noise.
+    devnorm = bool(cfg.train_cfg.get("device_normalize", True))
     for s in samples:
         shaper(shape, s, rng)
-        normalizer(s, rng)
+        if not devnorm:
+            normalizer(s, rng)
         permuter(s, rng)
-    images = np.stack([s["image"] for s in samples]).astype(np.float32)
+    if devnorm:
+        images = np.stack([
+            np.clip(np.rint(s["image"]), 0.0, 255.0) for s in samples
+        ]).astype(np.uint8)
+    else:
+        images = np.stack([s["image"] for s in samples]).astype(np.float32)
     gt_bbox = np.stack([s["gt_bbox"] for s in samples]).astype(np.float32)
-    gt_class = np.stack([np.reshape(s["gt_class"], (-1,)) for s in samples])
+    gt_class = np.stack(
+        [np.reshape(s["gt_class"], (-1,)) for s in samples]).astype(np.int32)
     gt_score = np.stack([np.reshape(s["gt_score"], (-1,)) for s in samples]).astype(np.float32)
-    tcfg = cfg.gt2YoloTarget
-    targets = gt2yolo_targets(
-        gt_bbox, gt_class, gt_score, (shape, shape), tcfg["anchors"],
-        tcfg["anchor_masks"], tcfg["downsample_ratios"], tcfg["num_classes"],
-        iou_thresh=tcfg.get("iou_thresh", 1.0))
-    return {
+    batch = {
         "image": images,
         "gt_bbox": gt_bbox,
         "gt_class": gt_class,
         "gt_score": gt_score,
-        "targets": tuple(targets),
         "shape": shape,
     }
+    # device_targets (default on): the train step builds the [B,gh,gw,an,6+C]
+    # tensors on device from the tiny gt arrays (targets.py
+    # gt2yolo_targets_device) — skips both the host scatter and shipping
+    # ~24x-the-image-bytes of mostly-zero targets over H2D
+    if not cfg.train_cfg.get("device_targets", True):
+        tcfg = cfg.gt2YoloTarget
+        batch["targets"] = tuple(gt2yolo_targets(
+            gt_bbox, gt_class, gt_score, (shape, shape), tcfg["anchors"],
+            tcfg["anchor_masks"], tcfg["downsample_ratios"],
+            tcfg["num_classes"], iou_thresh=tcfg.get("iou_thresh", 1.0)))
+    return batch
 
 
 def train_batches(records: List[dict], cfg, *, seed: int = 0,

@@ -149,3 +149,114 @@ def gt2yolo_targets(
             write(sel, slot, a)
         out.append(target)
     return out
+
+
+def gt2yolo_targets_device(gt_bbox, gt_class, gt_score, im_hw, anchors,
+                           anchor_masks, downsample_ratios, num_classes,
+                           iou_thresh: float = 1.0):
+    """Gt2YoloTarget ON DEVICE, scatter-free (jnp; jit-safe, static shapes).
+
+    The host-built target tensors are [B,gh,gw,an,6+C] and ~24x the image
+    bytes at 608 (mostly zeros: <=50 boxes/image) — shipping them dominates
+    H2D.  This builds them inside the jitted step from the tiny padded gt
+    arrays with a DENSE formulation: every (cell, slot) finds its winning gt
+    by an argmax over the 50 match priorities (no scatter — TPU-friendly),
+    and the multi-hot class plane is one [cells x M] @ [M x C] matmul.
+
+    Semantics match ``gt2yolo_targets`` exactly (oracle-tested):
+      * best-anchor writes override same-level extra (iou_thresh<1) writes,
+      * within a category the later gt index wins a cell/slot collision,
+      * colliding gts leave a multi-hot class plane (bits never clear).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w = im_hw
+    anchors_j = jnp.asarray(anchors, jnp.float32).reshape(-1, 2)
+    an_hw = anchors_j / jnp.asarray([[w, h]], jnp.float32)
+    b, m = gt_class.shape
+
+    gx, gy = gt_bbox[..., 0], gt_bbox[..., 1]
+    gw_, gh_ = gt_bbox[..., 2], gt_bbox[..., 3]
+    valid = (gw_ > 0) & (gh_ > 0) & (gt_score > 0)               # [B, M]
+
+    inter = (jnp.minimum(gw_[..., None], an_hw[None, None, :, 0])
+             * jnp.minimum(gh_[..., None], an_hw[None, None, :, 1]))
+    union = (gw_ * gh_)[..., None] + (an_hw[:, 0] * an_hw[:, 1]) - inter
+    ious = inter / jnp.maximum(union, 1e-12)                     # [B, M, A]
+    best_idx = jnp.argmax(ious, axis=-1)                         # [B, M]
+
+    cls_oh = (gt_class[..., None] ==
+              jnp.arange(num_classes)).astype(jnp.float32)
+
+    # per-gt value table for the winner-onehot matmul (no gathers on TPU)
+    vals = jnp.stack([gx, gy, gw_, gh_, gt_score], axis=-1)      # [B, M, 5]
+
+    out = []
+    for mask, ds in zip(anchor_masks, downsample_ratios):
+        grid_h, grid_w = int(h // ds), int(w // ds)
+        an = len(mask)
+        p = grid_h * grid_w * an
+        mask_j = jnp.asarray(mask)
+        gi = jnp.clip((gx * grid_w).astype(jnp.int32), 0, grid_w - 1)
+        gj = jnp.clip((gy * grid_h).astype(jnp.int32), 0, grid_h - 1)
+
+        is_best = valid[..., None] & (best_idx[..., None] == mask_j)  # [B,M,an]
+        if iou_thresh < 1.0:
+            iou_lvl = jnp.take(ious, mask_j, axis=-1)                 # [B,M,an]
+            extra = (valid[..., None] & (best_idx[..., None] != mask_j)
+                     & (iou_lvl > iou_thresh))
+            assigned = is_best | extra
+        else:
+            assigned = is_best
+
+        # priority per (gt, slot): 0 = unassigned; best-anchor category above
+        # extras; later gt index wins within a category.  Values <= 2M stay
+        # exact in bf16 (integers < 256), which halves the HBM traffic of the
+        # [B, cells, an, M] broadcast below.
+        pri_gt = (1 + jnp.arange(m)[None, :, None]
+                  + m * is_best.astype(jnp.int32))                    # [B,M,an]
+        pri_gt = jnp.where(assigned, pri_gt, 0).astype(jnp.bfloat16)
+
+        # match via one flat-cell-key equality: pri[b,yx,s,m] > 0 iff gt m
+        # writes cell yx slot s, and its value encodes the winner priority
+        key = (gj * grid_w + gi)                                      # [B, M]
+        yx = jnp.arange(grid_h * grid_w, dtype=jnp.int32)
+        eq = (key[:, None, :] == yx[None, :, None])                   # [B,YX,M]
+        pri = (eq[:, :, None, :].astype(jnp.bfloat16)
+               * pri_gt.transpose(0, 2, 1)[:, None])                  # [B,YX,an,M]
+        win = jnp.max(pri, axis=-1)                                   # [B,YX,an]
+        has = win > 0
+        # exact in bf16: priorities are integers <= 2M < 256
+        oh = ((pri == win[..., None]) & has[..., None])               # winner 1-hot
+        # winner gather as a selection matmul — fp32 values (bf16 would cost
+        # up to 0.15 cells on tx/ty); the one-hot lhs makes each output an
+        # exact copy of one value row up to matmul rounding
+        ohf = oh.reshape(b, p, m).astype(jnp.float32)
+        matf = (pri > 0).reshape(b, p, m).astype(jnp.bfloat16)
+
+        # HIGHEST: the default TPU f32 matmul is one bf16 pass, which would
+        # round gx/gy enough to move tx/ty by ~0.15 cells; K=5 keeps it cheap
+        g = jnp.einsum("bpm,bmk->bpk", ohf, vals,
+                       precision=jax.lax.Precision.HIGHEST)           # [B,P,5]
+        g = g.reshape(b, grid_h, grid_w, an, 5)
+        gx_s, gy_s, gw_s, gh_s, score_s = [g[..., i] for i in range(5)]
+        hasf = has.reshape(b, grid_h, grid_w, an).astype(jnp.float32)
+        aw = anchors_j[mask_j, 0]
+        ah = anchors_j[mask_j, 1]
+        tx = gx_s * grid_w - jnp.arange(grid_w)[None, None, :, None]
+        ty = gy_s * grid_h - jnp.arange(grid_h)[None, :, None, None]
+        tw = jnp.log(jnp.maximum(gw_s * w / aw, 1e-30))
+        th = jnp.log(jnp.maximum(gh_s * h / ah, 1e-30))
+        tscale = 2.0 - gw_s * gh_s
+        fields = jnp.stack([tx, ty, tw, th, tscale, score_s],
+                           axis=-1) * hasf[..., None]
+
+        # multi-hot classes: OR over ALL matching gts (bits never clear)
+        cls_plane = jnp.einsum("bpm,bmc->bpc", matf,
+                               cls_oh.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+        cls_plane = jnp.minimum(cls_plane, 1.0).reshape(
+            b, grid_h, grid_w, an, num_classes)
+        out.append(jnp.concatenate([fields, cls_plane], axis=-1))
+    return out

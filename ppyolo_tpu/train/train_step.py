@@ -71,6 +71,22 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
     mask_anchors = model.head.mask_anchors
     if remat is None:
         remat = bool(cfg.train_cfg.get("remat", False))
+    # device-side normalization: the loader ships uint8 NHWC (4x less H2D
+    # through the ~tunnel, no fp32 normalize on the 1-core host) and the
+    # step applies (x/255 - mean)/std here, fused by XLA into the stem conv
+    norm = getattr(cfg, "normalizeImage", None) or {}
+    norm_mean = jnp.asarray(norm.get("mean", (0.0, 0.0, 0.0)), jnp.float32)
+    norm_std = jnp.asarray(norm.get("std", (1.0, 1.0, 1.0)), jnp.float32)
+    norm_scale = bool(norm.get("is_scale", True))
+
+    def prep_images(raw):
+        if raw.dtype != jnp.uint8:
+            return raw.astype(compute_dtype)   # host-normalized path
+        x = raw.astype(jnp.float32)
+        if norm_scale:
+            x = x * (1.0 / 255.0)
+        x = (x - norm_mean) / norm_std
+        return x.astype(compute_dtype)
 
     def forward(params, images, ctx):
         if remat:
@@ -88,6 +104,21 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
             return model.head.get_outputs(params["head"], list(feats), ctx)
         return model.outputs(params, images, ctx)
 
+    tcfg = dict(cfg.gt2YoloTarget)
+
+    def batch_targets(batch):
+        """Targets from the batch, or built ON DEVICE from the tiny gt
+        arrays (data/targets.py::gt2yolo_targets_device) — the host-built
+        [B,gh,gw,an,6+C] tensors are ~24x the image bytes and dominated H2D."""
+        if "targets" in batch:
+            return list(batch["targets"])
+        from ..data.targets import gt2yolo_targets_device
+        h, w = batch["image"].shape[1:3]
+        return gt2yolo_targets_device(
+            batch["gt_bbox"], batch["gt_class"], batch["gt_score"], (h, w),
+            tcfg["anchors"], tcfg["anchor_masks"], tcfg["downsample_ratios"],
+            tcfg["num_classes"], iou_thresh=tcfg.get("iou_thresh", 1.0))
+
     def loss_fn(trainable_flat, frozen_flat, batch, rng):
         merged = {**trainable_flat, **frozen_flat}
         if compute_dtype != jnp.float32:
@@ -103,13 +134,17 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
         params = unflatten_tree(merged)
         updates: Dict[str, jax.Array] = {}
         ctx = Ctx(train=True, rng=rng, updates=updates, axis_name=axis_name)
-        images = batch["image"].astype(compute_dtype)
+        images = prep_images(batch["image"])
         outputs = forward(params, images, ctx)
         losses = loss_obj(outputs, list(batch["targets"]), batch["gt_bbox"],
                           mask_anchors, num_classes)
         return total_loss(losses), (losses, updates)
 
     def step_fn(state: TrainState, batch, rng):
+        if "targets" not in batch:
+            # build OUTSIDE the grad closure: targets are data, and tracing
+            # the dense builder through jax.grad would only bloat the graph
+            batch = dict(batch, targets=tuple(batch_targets(batch)))
         trainable, frozen = split_trainable(state.params, flat_policy)
         grad_fn = jax.grad(loss_fn, has_aux=True)
         grads, (losses, bn_updates) = grad_fn(trainable, frozen, batch, rng)

@@ -131,9 +131,20 @@ def test_assemble_batch_shapes():
         T.BboxXYXY2XYWH()(s, RNG)
         samples.append(s)
     rng = np.random.RandomState(0)
+    # default: device_normalize/device_targets -> uint8 image, no host targets
     batch = assemble_batch(samples, cfg, rng, fixed_shape=320)
     assert batch["image"].shape == (2, 320, 320, 3)
+    assert batch["image"].dtype == np.uint8
     assert batch["gt_bbox"].shape == (2, 50, 4)
+    assert batch["gt_class"].dtype == np.int32
+    assert "targets" not in batch
+
+    # host path (device_normalize/targets off): normalized floats + targets
+    cfg.train_cfg = dict(cfg.train_cfg, device_normalize=False,
+                         device_targets=False)
+    batch = assemble_batch(samples, cfg, np.random.RandomState(0),
+                           fixed_shape=320)
+    assert batch["image"].dtype == np.float32
     assert batch["targets"][0].shape == (2, 10, 10, 3, 12)
     assert batch["targets"][1].shape == (2, 20, 20, 3, 12)
     # normalization applied
@@ -159,6 +170,7 @@ def test_train_batches_stream(tmp_path):
             "gt_score": np.ones((1, 1), np.float32),
             "is_crowd": np.zeros((1, 1), np.int32),
         })
+    cfg.train_cfg = dict(cfg.train_cfg, device_targets=False)
     it = train_batches(recs, cfg, seed=0, fixed_shape=320)
     pf = Prefetcher(it, max_batch=2)
     b = next(pf)

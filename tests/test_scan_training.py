@@ -48,7 +48,8 @@ def test_multi_shape_training_compiles_per_bucket(tmp_path):
         shapes_seen.add(b["shape"])
         device_batch = {"image": jnp.asarray(b["image"]),
                         "gt_bbox": jnp.asarray(b["gt_bbox"]),
-                        "targets": tuple(jnp.asarray(t) for t in b["targets"])}
+                        "gt_class": jnp.asarray(b["gt_class"]),
+                        "gt_score": jnp.asarray(b["gt_score"])}
         state, losses = step(state, device_batch, jax.random.PRNGKey(i))
         assert np.isfinite(float(losses["total_loss"]))
     assert shapes_seen == {96, 128}

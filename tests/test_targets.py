@@ -132,3 +132,63 @@ def test_iou_thresh_secondary_assignment():
     # tw/th encode each slot's own anchor (transform.py:1409-1411)
     np.testing.assert_allclose(lvl0[gj, gi, slot_sec, 2],
                                np.log(aw * w / ANCHORS[3][0]), rtol=1e-5)
+
+
+def _rand_gts(rng, b=3, m=50, nc=6, n_valid=12, collide=True):
+    gt_bbox = np.zeros((b, m, 4), np.float32)
+    gt_bbox[:, :n_valid, 0:2] = rng.uniform(0.05, 0.95, (b, n_valid, 2))
+    gt_bbox[:, :n_valid, 2:4] = rng.uniform(0.02, 0.6, (b, n_valid, 2))
+    if collide:
+        # force cell/slot collisions: identical centers + near-identical wh
+        gt_bbox[:, 1, :] = gt_bbox[:, 0, :] * [1.0, 1.0, 1.02, 1.02]
+        gt_bbox[:, 1, 0:2] = gt_bbox[:, 0, 0:2]
+    gt_class = rng.randint(0, nc, (b, m))
+    gt_score = np.zeros((b, m), np.float32)
+    gt_score[:, :n_valid] = rng.uniform(0.3, 1.0, (b, n_valid))
+    return gt_bbox, gt_class, gt_score
+
+
+def test_device_targets_match_numpy(tmp_path):
+    """gt2yolo_targets_device (dense argmax-gather, jnp) == numpy scatter,
+    incl. collision last-wins + multi-hot class semantics."""
+    import jax.numpy as jnp
+    from ppyolo_tpu.data.targets import gt2yolo_targets_device
+    from configs import PPYOLO_r18vd_Config
+
+    cfg = PPYOLO_r18vd_Config()
+    tc = cfg.gt2YoloTarget
+    rng = np.random.RandomState(0)
+    for size in (96, 128):
+        gt_bbox, gt_class, gt_score = _rand_gts(rng, nc=6)
+        ref = gt2yolo_targets(gt_bbox, gt_class, gt_score, (size, size),
+                              tc["anchors"], tc["anchor_masks"],
+                              tc["downsample_ratios"], 6, use_native=False)
+        got = gt2yolo_targets_device(
+            jnp.asarray(gt_bbox), jnp.asarray(gt_class),
+            jnp.asarray(gt_score), (size, size), tc["anchors"],
+            tc["anchor_masks"], tc["downsample_ratios"], 6)
+        for li, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(np.asarray(g), r, rtol=1e-5,
+                                       atol=1e-5, err_msg=f"level {li}")
+
+
+def test_device_targets_match_numpy_iou_thresh():
+    import jax.numpy as jnp
+    from ppyolo_tpu.data.targets import gt2yolo_targets_device
+    from configs import PPYOLO_r18vd_Config
+
+    cfg = PPYOLO_r18vd_Config()
+    tc = cfg.gt2YoloTarget
+    rng = np.random.RandomState(1)
+    gt_bbox, gt_class, gt_score = _rand_gts(rng, nc=6)
+    ref = gt2yolo_targets(gt_bbox, gt_class, gt_score, (96, 96),
+                          tc["anchors"], tc["anchor_masks"],
+                          tc["downsample_ratios"], 6, iou_thresh=0.4,
+                          use_native=False)
+    got = gt2yolo_targets_device(
+        jnp.asarray(gt_bbox), jnp.asarray(gt_class), jnp.asarray(gt_score),
+        (96, 96), tc["anchors"], tc["anchor_masks"],
+        tc["downsample_ratios"], 6, iou_thresh=0.4)
+    for li, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"level {li}")

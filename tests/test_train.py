@@ -285,3 +285,86 @@ def test_mesh_scan_matches_sequential_sharded_steps():
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_device_normalize_matches_host_normalize():
+    """uint8 transport + on-device (x/255-mean)/std == host NormalizeImage.
+
+    Integer-valued pixels so the uint8 round-trip is lossless; same state,
+    same rng -> loss dicts must agree to fp32 tolerance.
+    """
+    from ppyolo_tpu.data import transforms as T
+
+    cfg = TinyCfg()
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    step = jax.jit(make_train_step(model, cfg))
+
+    batch = make_batch(2, size=64)
+    raw = np.asarray(
+        np.random.RandomState(3).randint(0, 256, (2, 64, 64, 3)), np.float32)
+    host = {"image": raw.copy()}
+    T.NormalizeImage(**cfg.normalizeImage)(host, None)
+    b_host = dict(batch, image=jnp.asarray(host["image"], jnp.float32))
+    b_dev = dict(batch, image=jnp.asarray(raw, jnp.uint8))
+
+    _, l_host = step(state, b_host, jax.random.PRNGKey(7))
+    _, l_dev = step(state, b_dev, jax.random.PRNGKey(7))
+    for k in l_host:
+        np.testing.assert_allclose(np.asarray(l_host[k]),
+                                   np.asarray(l_dev[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_loader_ships_uint8_when_device_normalize():
+    import os
+    import cv2
+    import tempfile
+    import json
+    from ppyolo_tpu.data import CocoJson, category_maps, data_clean
+    from ppyolo_tpu.data.loader import train_batches
+
+    tmp = tempfile.mkdtemp()
+    img_dir = os.path.join(tmp, "im")
+    os.makedirs(img_dir)
+    r = np.random.RandomState(0)
+    images, annos = [], []
+    for i in range(4):
+        cv2.imwrite(os.path.join(img_dir, f"i{i}.jpg"),
+                    r.randint(0, 255, (64, 64, 3)).astype(np.uint8))
+        images.append({"id": i + 1, "file_name": f"i{i}.jpg",
+                       "width": 64, "height": 64})
+        annos.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                      "bbox": [10.0, 10.0, 30.0, 30.0], "area": 900.0,
+                      "iscrowd": 0})
+    anno = os.path.join(tmp, "a.json")
+    json.dump({"images": images, "annotations": annos,
+               "categories": [{"id": 1, "name": "c"}]}, open(anno, "w"))
+
+    cfg = TinyCfg()
+    cfg.num_classes = 1
+    cfg.head = dict(cfg.head, num_classes=1)
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=1)
+    cfg.train_path = anno
+    cfg.train_pre_path = img_dir + "/"
+    cfg.train_cfg = dict(cfg.train_cfg, batch_size=2, mixup_epoch=0)
+    cfg.randomShape = dict(sizes=[64], random_inter=False)
+
+    coco = CocoJson(anno)
+    catid2clsid, _, _ = category_maps(coco)
+    records = data_clean(coco, coco.get_img_ids(), catid2clsid,
+                         cfg.train_pre_path)
+    b = next(iter(train_batches(records, cfg, seed=0)))
+    assert b["image"].dtype == np.uint8
+
+    cfg.train_cfg = dict(cfg.train_cfg, device_normalize=False)
+    b2 = next(iter(train_batches(records, cfg, seed=0)))
+    assert b2["image"].dtype == np.float32
+    # the uint8 batch must normalize (on device) to the float batch exactly
+    # on un-augmented integer pixels
+    mean = np.asarray(cfg.normalizeImage["mean"], np.float32)
+    std = np.asarray(cfg.normalizeImage["std"], np.float32)
+    np.testing.assert_allclose(
+        (b["image"].astype(np.float32) / 255.0 - mean) / std,
+        b2["image"], rtol=2e-5, atol=2e-5)

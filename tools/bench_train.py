@@ -1,0 +1,156 @@
+#! /usr/bin/env python
+"""Reproducible train-step benchmark for ppyolo_2x @608 on one TPU chip.
+
+Reports two numbers (the host loader is excluded from both — this container
+has ONE host core, so loader throughput measures the container, not the
+framework; production hosts feed from many cores):
+
+  device   ms/step with the batch resident on device (lax.scan over the
+           jitted step; pure compute+optimizer time)
+  replay   ms/step including the H2D transfer and per-dispatch latency:
+           pre-built host batches are replayed through the DevicePrefetcher
+           (double-buffered uint8 H2D, as train.py runs) into scanned
+           multi-step dispatches
+
+Also prints achieved TFLOP/s and MFU from XLA cost analysis (scan body
+counted once by XLA; scaled by scan_steps).
+
+Usage: python tools/bench_train.py [--batch 16] [--scan 8] [--iters 48]
+       [--freeze 5] [--precision bf16] [--size 608]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--scan", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=48)
+    ap.add_argument("--freeze", type=int, default=5)
+    ap.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    ap.add_argument("--size", type=int, default=608)
+    ap.add_argument("--host_targets", action="store_true",
+                    help="ship host-built target tensors (old transport)")
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from configs import PPYOLO_2x_Config
+    from ppyolo_tpu.models import PPYOLO
+    from ppyolo_tpu.train import make_train_step, init_train_state
+    from ppyolo_tpu.train.train_step import make_multi_train_step
+    from ppyolo_tpu.data.loader import DevicePrefetcher
+    from ppyolo_tpu.data.targets import gt2yolo_targets
+    from ppyolo_tpu.utils.mfu import program_flops, mfu as mfu_frac
+
+    cfg = PPYOLO_2x_Config()
+    cfg.backbone = dict(cfg.backbone, freeze_at=a.freeze)
+    cfg.randomShape = dict(sizes=[a.size], random_inter=False)
+    cfg.train_cfg = dict(cfg.train_cfg, batch_size=a.batch)
+
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    dt = jnp.bfloat16 if a.precision == "bf16" else jnp.float32
+
+    # one synthetic host batch through the real target assigner (uint8
+    # transport, as the loader ships since device_normalize)
+    r = np.random.RandomState(0)
+    m = 50
+    gt_bbox = np.zeros((a.batch, m, 4), np.float32)
+    gt_bbox[:, :8, 0:2] = r.uniform(0.2, 0.8, (a.batch, 8, 2))
+    gt_bbox[:, :8, 2:4] = r.uniform(0.05, 0.4, (a.batch, 8, 2))
+    gt_class = r.randint(0, cfg.num_classes, (a.batch, m))
+    gt_score = np.zeros((a.batch, m), np.float32)
+    gt_score[:, :8] = 1.0
+    if a.host_targets:
+        tcfg = cfg.gt2YoloTarget
+        targets = gt2yolo_targets(
+            gt_bbox, gt_class, gt_score, (a.size, a.size), tcfg["anchors"],
+            tcfg["anchor_masks"], tcfg["downsample_ratios"],
+            tcfg["num_classes"])
+        extra = {"targets": tuple(targets)}
+    else:  # the default transport: targets built on device from these
+        extra = {"gt_class": gt_class.astype(np.int32),
+                 "gt_score": gt_score}
+    host_batch = {
+        "image": r.randint(0, 256, (a.batch, a.size, a.size, 3)).astype(np.uint8),
+        "gt_bbox": gt_bbox,
+        **extra,
+    }
+
+    print(f"backend={jax.default_backend()} batch={a.batch}@{a.size} "
+          f"freeze={a.freeze} prec={a.precision} scan={a.scan}")
+
+    # ---- device-only: batch resident, scan over steps -----------------------
+    step = make_train_step(model, cfg, compute_dtype=dt)
+    dev_batch = jax.device_put(host_batch)
+
+    @jax.jit
+    def run_dev(state, batch, key):
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, losses = step(st, batch, sub)
+            return (st, k), losses["total_loss"]
+
+        (state, _), trace = jax.lax.scan(body, (state, key),
+                                         None, length=a.iters)
+        return state, trace
+
+    s2, trace = run_dev(state, dev_batch, jax.random.PRNGKey(1))
+    np.asarray(trace)
+    t0 = time.time()
+    _, trace = run_dev(state, dev_batch, jax.random.PRNGKey(1))
+    trace = np.asarray(trace)
+    dev_ms = (time.time() - t0) / a.iters * 1e3
+    assert np.isfinite(trace).all(), "non-finite loss in device run"
+    print(f"device   {dev_ms:7.2f} ms/step  {a.batch / dev_ms * 1e3:7.1f} img/s")
+
+    # ---- replay: H2D + dispatch included, loader excluded -------------------
+    multi = jax.jit(
+        make_multi_train_step(model, cfg, n_steps=a.scan, compute_dtype=dt),
+        donate_argnums=(0,))
+    stacked = {k: (tuple(np.stack([t] * a.scan) for t in v)
+                   if isinstance(v, tuple) else np.stack([v] * a.scan))
+               for k, v in host_batch.items()}
+    n_disp = max(a.iters // a.scan, 2)
+
+    def units():
+        for _ in range(n_disp + 1):
+            yield stacked
+
+    state_r = jax.device_put(state)
+    it = DevicePrefetcher(units())
+    first = next(it)
+    state_r, losses = multi(state_r, first, jax.random.PRNGKey(2))
+    np.asarray(losses["total_loss"])  # compile + sync
+    t0 = time.time()
+    for unit in it:
+        state_r, losses = multi(state_r, unit, jax.random.PRNGKey(3))
+    lt = np.asarray(losses["total_loss"])
+    replay_ms = (time.time() - t0) / (n_disp * a.scan) * 1e3
+    assert np.isfinite(lt).all(), "non-finite loss in replay run"
+    unit_mb = sum(np.asarray(v).nbytes for v in jax.tree.leaves(stacked)) / 1e6
+    print(f"replay   {replay_ms:7.2f} ms/step  {a.batch / replay_ms * 1e3:7.1f} img/s "
+          f"(H2D {unit_mb:.0f} MB/dispatch of {a.scan} steps)")
+
+    try:
+        # XLA cost analysis counts the scan body once -> this IS per-step
+        fl = program_flops(multi, state_r, first, jax.random.PRNGKey(3))
+        tfs = fl / (dev_ms / 1e3) / 1e12
+        print(f"XLA cost {fl / 1e12:.2f} TFLOP/step -> device {tfs:.1f} TFLOP/s "
+              f"= {mfu_frac(fl, dev_ms / 1e3):.1%} MFU (bf16 peak 197T)")
+    except Exception as e:  # noqa: BLE001
+        print("cost analysis unavailable:", e)
+
+
+if __name__ == "__main__":
+    main()

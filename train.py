@@ -155,11 +155,8 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     rng = jax.random.PRNGKey(1)
 
     def to_device_batch(batch):
-        return {
-            "image": batch["image"],
-            "gt_bbox": batch["gt_bbox"],
-            "targets": batch["targets"],
-        }
+        keys = ("image", "gt_bbox", "gt_class", "gt_score", "targets")
+        return {k: batch[k] for k in keys if k in batch}
 
     def host_units():
         """Dispatch units: one batch, or scan_steps batches stacked."""
