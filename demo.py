@@ -31,6 +31,9 @@ def main():
     p.add_argument("--image_dir", type=str, default="images/test")
     p.add_argument("--out_dir", type=str, default="images/res")
     args = p.parse_args()
+    if not args.use_gpu:  # reference --use_gpu=0 semantics: run on host CPU
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import cv2
     import jax

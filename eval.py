@@ -23,6 +23,9 @@ def main(type_: str = "eval"):
     p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16"],
                    help="bf16 = ~2x faster inference (fp32 decode/NMS kept)")
     args = p.parse_args()
+    if not args.use_gpu:  # reference --use_gpu=0 semantics: run on host CPU
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from configs import get_config
 
     return run_eval(get_config(args.config), type_=type_,

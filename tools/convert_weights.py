@@ -29,6 +29,10 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # pure tensor renaming/transposes — never worth an accelerator, and on
+    # tunneled TPU runtimes platform init alone can take minutes
+    jax.config.update("jax_platforms", "cpu")
     from configs import get_config
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.checkpoint import (

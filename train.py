@@ -42,6 +42,9 @@ def main():
                    help=">1 fuses that many train steps into one lax.scan "
                         "dispatch (amortizes host dispatch latency)")
     args = p.parse_args()
+    if not args.use_gpu:  # reference --use_gpu=0 semantics: run on host CPU
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from configs import get_config
 
     cfg = get_config(args.config)
