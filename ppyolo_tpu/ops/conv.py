@@ -25,6 +25,34 @@ from .deform_conv import deform_conv2d
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1  # torch convention: running = (1-m)*running + m*batch
 
+# DCN implementation override (read at trace time):
+#   auto   — Pallas kernels on TPU, jnp gather elsewhere (the default)
+#   pallas — force the Pallas kernels
+#   onehot — one-hot-matmul in plain XLA: no custom calls, so the traced
+#            program is pure StableHLO (required for jax.export artifacts —
+#            serialized mosaic custom-calls fault this runtime's worker)
+#   gather — the jnp gather formulation
+DCN_IMPL = "auto"
+
+
+class dcn_impl:
+    """Context manager pinning the DCN implementation during tracing."""
+
+    def __init__(self, name: str):
+        assert name in ("auto", "pallas", "onehot", "gather"), name
+        self.name = name
+
+    def __enter__(self):
+        global DCN_IMPL
+        self._prev = DCN_IMPL
+        DCN_IMPL = self.name
+        return self
+
+    def __exit__(self, *exc):
+        global DCN_IMPL
+        DCN_IMPL = self._prev
+        return False
+
 
 def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
@@ -192,10 +220,16 @@ class ConvNormAct(Module):
                 bias=c["conv_offset"]["bias"],
             )
             k2 = self.ksize * self.ksize
-            if jax.default_backend() == "tpu":
+            impl = DCN_IMPL
+            if impl == "auto":
+                impl = ("pallas" if jax.default_backend() == "tpu"
+                        else "gather")
+            if impl == "pallas":
                 # Pallas one-hot-matmul kernels, forward AND backward (3-6x
                 # the XLA gather lowering; col2im scatters become matmuls)
                 from .deform_conv_pallas import deform_conv2d_fast as _dcn
+            elif impl == "onehot":
+                from .deform_conv_pallas import deform_conv2d_onehot as _dcn
             else:
                 _dcn = deform_conv2d
             x = _dcn(

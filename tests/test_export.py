@@ -1,0 +1,64 @@
+"""Serving-artifact export: serialize -> deserialize -> identical detections.
+
+The artifact bakes the (BN-folded) weights in as StableHLO constants, so
+the roundtrip needs no model code or checkpoint — the deployment story the
+reference lacks (its demo.py IS its serving path)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from configs import PPYOLO_r18vd_Config
+from ppyolo_tpu.models import PPYOLO
+from ppyolo_tpu.eval.detector import Detector
+from ppyolo_tpu.eval.export import (export_detector, load_serving,
+                                    save_serving, load_serving_file)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_detector():
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 6
+    cfg.head = dict(cfg.head, num_classes=6)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return Detector(model, params, cfg, target_size=128)
+
+
+def test_export_roundtrip_matches_direct_predict(tmp_path):
+    det = _tiny_detector()
+    data = export_detector(det, batch=2)
+    assert len(data) > 1_000_000  # weights are baked in
+
+    r = np.random.RandomState(0)
+    images = r.randint(0, 256, (2, 128, 128, 3)).astype(np.uint8)
+    sizes = np.array([[97.0, 153.0], [128.0, 64.0]], np.float32)
+
+    direct = np.asarray(det.predict_batch(images, sizes))
+
+    serve = load_serving(data)
+    got = np.asarray(serve(images, sizes))
+    np.testing.assert_allclose(got, direct, rtol=1e-6, atol=1e-6)
+
+    path = str(tmp_path / "det.shlo")
+    save_serving(path, data)
+    got2 = np.asarray(load_serving_file(path)(images, sizes))
+    np.testing.assert_allclose(got2, direct, rtol=1e-6, atol=1e-6)
+
+
+def test_export_cli(tmp_path):
+    out = str(tmp_path / "r18vd_128_b1.shlo")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_serving.py"),
+         "--config=1", "--out", out, "--batch", "1", "--size", "128",
+         "--precision", "fp32", "--use_gpu", "0"],
+        capture_output=True, text=True, cwd=REPO, timeout=480)
+    assert r.returncode == 0, r.stderr[-2000:]
+    serve = load_serving_file(out)
+    img = np.zeros((1, 128, 128, 3), np.uint8)
+    dets = np.asarray(serve(img, np.array([[128.0, 128.0]], np.float32)))
+    assert dets.shape[0] == 1 and dets.shape[2] == 6

@@ -368,3 +368,30 @@ def test_loader_ships_uint8_when_device_normalize():
     np.testing.assert_allclose(
         (b["image"].astype(np.float32) / 255.0 - mean) / std,
         b2["image"], rtol=2e-5, atol=2e-5)
+
+
+def test_empty_gt_batch_trains_finite():
+    """A batch with ZERO valid gt boxes (all-padding) must produce finite
+    losses (pure-negative obj loss) and finite updated params through the
+    device-target path — the all-invalid corner of gt2yolo_targets_device."""
+    cfg = TinyCfg()
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    step = jax.jit(make_train_step(model, cfg))
+    B = 2
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, (B, 64, 64, 3)),
+            jnp.uint8),
+        "gt_bbox": jnp.zeros((B, 50, 4), jnp.float32),
+        "gt_class": jnp.zeros((B, 50), jnp.int32),
+        "gt_score": jnp.zeros((B, 50), jnp.float32),
+    }
+    st, losses = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert float(losses["loss_xy"]) == 0.0  # no positives anywhere
+    assert float(losses["loss_obj"]) > 0.0  # negatives still train
+    leaf = jax.tree.leaves(st.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
