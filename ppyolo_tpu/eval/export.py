@@ -13,12 +13,16 @@ Input contract (matches Detector.process_image's uint8 transport):
 Output: fp32 [B, keep_top_k, 6] rows (label, score, x0, y0, x1, y1),
 -1-padded — identical to Detector.predict_batch.
 
-Known environment limitation: on the axon-tunneled dev runtime, REPLAYING a
-deserialized program (`Exported.call`) faults the relay worker for the
-full-size model even though the identical jit runs fine — an artifact of
-that runtime, not of the export (round-trip is exact on CPU,
-tests/test_export.py). Artifacts default to the ``onehot`` DCN formulation
-so they are pure StableHLO with no backend custom calls either way.
+Known environment limitation (bisected): on the axon-tunneled dev runtime,
+replaying a deserialized program (`Exported.call`) of ppyolo_2x @608 works
+at batch<=4 but faults the relay worker at batch 8 — the round-1 relay
+batch-8 fault, which ordinary jits of the identical computation no longer
+trigger (bench runs batch 8 fine).  Same behaviour with and without the
+Pallas custom call, so it is the runtime's exported-program execution path,
+not the artifact content.  Round-trip is exact on CPU
+(tests/test_export.py); tiny and r18vd artifacts replay fine on the TPU.
+Artifacts default to the ``onehot`` DCN formulation so they are pure
+StableHLO with no backend custom calls either way.
 """
 from __future__ import annotations
 
