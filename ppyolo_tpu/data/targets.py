@@ -211,23 +211,26 @@ def gt2yolo_targets_device(gt_bbox, gt_class, gt_score, im_hw, anchors,
             assigned = is_best
 
         # priority per (gt, slot): 0 = unassigned; best-anchor category above
-        # extras; later gt index wins within a category.  Values <= 2M stay
-        # exact in bf16 (integers < 256), which halves the HBM traffic of the
-        # [B, cells, an, M] broadcast below.
+        # extras; later gt index wins within a category.  bf16 halves the HBM
+        # traffic of the [B, cells, an, M] broadcast below but is only exact
+        # for integers <= 256 — beyond that adjacent priorities would collapse
+        # and colliding gts would BOTH win (their field rows would sum), so
+        # fall back to fp32 when the padded gt count makes 2M+1 exceed it.
+        pdt = jnp.bfloat16 if 2 * m + 1 <= 256 else jnp.float32
         pri_gt = (1 + jnp.arange(m)[None, :, None]
                   + m * is_best.astype(jnp.int32))                    # [B,M,an]
-        pri_gt = jnp.where(assigned, pri_gt, 0).astype(jnp.bfloat16)
+        pri_gt = jnp.where(assigned, pri_gt, 0).astype(pdt)
 
         # match via one flat-cell-key equality: pri[b,yx,s,m] > 0 iff gt m
         # writes cell yx slot s, and its value encodes the winner priority
         key = (gj * grid_w + gi)                                      # [B, M]
         yx = jnp.arange(grid_h * grid_w, dtype=jnp.int32)
         eq = (key[:, None, :] == yx[None, :, None])                   # [B,YX,M]
-        pri = (eq[:, :, None, :].astype(jnp.bfloat16)
+        pri = (eq[:, :, None, :].astype(pdt)
                * pri_gt.transpose(0, 2, 1)[:, None])                  # [B,YX,an,M]
         win = jnp.max(pri, axis=-1)                                   # [B,YX,an]
         has = win > 0
-        # exact in bf16: priorities are integers <= 2M < 256
+        # priorities are exact integers in pdt, so == finds the unique winner
         oh = ((pri == win[..., None]) & has[..., None])               # winner 1-hot
         # winner gather as a selection matmul — fp32 values (bf16 would cost
         # up to 0.15 cells on tx/ty); the one-hot lhs makes each output an

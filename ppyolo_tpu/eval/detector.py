@@ -44,6 +44,12 @@ class Detector:
         self.std = np.array(cfg.normalizeImage["std"], np.float32)
         self.interp = int(cfg.resizeImage.get("interp", 2))
         self.to_bgr = bool(cfg.permute.get("to_bgr", False))
+        if self.to_bgr:
+            # the reference normalizes with RGB-ordered constants THEN flips
+            # (NormalizeImage -> Permute); we flip before the uint8 ship, so
+            # the constants must flip too for the math to commute
+            self.mean = self.mean[::-1].copy()
+            self.std = self.std[::-1].copy()
         self.compute_dtype = compute_dtype
         self._predict_jit = jax.jit(self._predict_fn)
 

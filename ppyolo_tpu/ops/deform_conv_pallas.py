@@ -271,13 +271,11 @@ def _dcn_bwd_pallas(x, weight, offset, mask, g, *, stride: int,
     Pp, Qp = _round_up(P, 8), _round_up(Q, 128)
 
     def tables(o, m):
-        _, w_, m_ = _corner_tables(o, m, H, W, oH, oW, kh, kw, stride,
-                                   padding)
-        return w_, m_
+        i_, w_, m_ = _corner_tables(o, m, H, W, oH, oW, kh, kw, stride,
+                                    padding)
+        return (w_, m_), i_   # idx as aux: one trace, no duplicate tables
 
-    (wgt, mod), tab_vjp = jax.vjp(tables, offset, mask)
-    idx, _, _ = _corner_tables(offset, mask, H, W, oH, oW, kh, kw, stride,
-                               padding)
+    (wgt, mod), tab_vjp, idx = jax.vjp(tables, offset, mask, has_aux=True)
     idx = jnp.pad(idx, ((0, 0), (0, 0), (0, Pp - P), (0, 0)),
                   constant_values=-1)
     wgt_p = jnp.pad(wgt, ((0, 0), (0, 0), (0, Pp - P), (0, 0)))

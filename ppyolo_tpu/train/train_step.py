@@ -78,6 +78,12 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
     norm_mean = jnp.asarray(norm.get("mean", (0.0, 0.0, 0.0)), jnp.float32)
     norm_std = jnp.asarray(norm.get("std", (1.0, 1.0, 1.0)), jnp.float32)
     norm_scale = bool(norm.get("is_scale", True))
+    permute = getattr(cfg, "permute", None) or {}
+    if permute.get("to_bgr", False):
+        # reference order is NormalizeImage (RGB constants) -> Permute flip;
+        # the loader flips before the uint8 ship, so flip the constants too
+        norm_mean = norm_mean[::-1]
+        norm_std = norm_std[::-1]
 
     def prep_images(raw):
         if raw.dtype != jnp.uint8:

@@ -111,3 +111,20 @@ def test_iter_convs_yields_each_conv_exactly_once():
     assert len(convs) == len({id(c) for c in convs})
     names = [c.name for c in convs if getattr(c, "name", "")]
     assert len(names) == len(set(names))
+
+
+def test_detector_to_bgr_flips_norm_constants():
+    """Detector normalizes AFTER the host BGR flip, so its constants must be
+    the channel-reverse of the config's RGB-ordered mean/std."""
+    import jax
+    from configs import PPYOLO_r18vd_Config
+    from ppyolo_tpu.models import PPYOLO
+    from ppyolo_tpu.eval.detector import Detector
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.permute = dict(cfg.permute, to_bgr=True)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    det = Detector(model, params, cfg, target_size=64)
+    assert np.allclose(det.mean, np.asarray(cfg.normalizeImage["mean"])[::-1])
+    assert np.allclose(det.std, np.asarray(cfg.normalizeImage["std"])[::-1])

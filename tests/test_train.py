@@ -395,3 +395,37 @@ def test_empty_gt_batch_trains_finite():
     assert float(losses["loss_obj"]) > 0.0  # negatives still train
     leaf = jax.tree.leaves(st.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_device_normalize_to_bgr_constant_flip():
+    """permute.to_bgr=True: the loader flips channels BEFORE the uint8 ship,
+    so the on-device normalize must use FLIPPED mean/std to reproduce the
+    reference order NormalizeImage(RGB constants) -> Permute flip
+    (code-review find: the constants were applied unflipped)."""
+    from ppyolo_tpu.data import transforms as T
+
+    cfg = TinyCfg()
+    cfg.permute = dict(cfg.permute, to_bgr=True)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    step = jax.jit(make_train_step(model, cfg))
+
+    batch = make_batch(2, size=64)
+    raw = np.asarray(
+        np.random.RandomState(5).randint(0, 256, (2, 64, 64, 3)), np.float32)
+    # reference order: normalize with RGB constants, THEN flip to BGR
+    host = {"image": raw.copy()}
+    T.NormalizeImage(**cfg.normalizeImage)(host, None)
+    ref_img = host["image"][..., ::-1].copy()
+    # device path receives the flipped uint8 (what the loader ships)
+    flipped_u8 = raw[..., ::-1].astype(np.uint8)
+
+    b_host = dict(batch, image=jnp.asarray(ref_img, jnp.float32))
+    b_dev = dict(batch, image=jnp.asarray(flipped_u8))
+    _, l_host = step(state, b_host, jax.random.PRNGKey(7))
+    _, l_dev = step(state, b_dev, jax.random.PRNGKey(7))
+    for k in l_host:
+        np.testing.assert_allclose(np.asarray(l_host[k]),
+                                   np.asarray(l_dev[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)

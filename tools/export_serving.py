@@ -33,9 +33,11 @@ def main():
                    help="DCN formulation in the artifact (onehot = pure "
                         "StableHLO, portable; pallas = mosaic custom-call, "
                         "fastest but tied to the exporting libtpu)")
-    p.add_argument("--use_gpu", default="1")
+    from tools.argparser import str2bool
+
+    p.add_argument("--use_gpu", type=str2bool, default=True)
     args = p.parse_args()
-    if args.use_gpu in ("0", "False", "false"):
+    if not args.use_gpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
