@@ -62,3 +62,35 @@ def test_export_cli(tmp_path):
     img = np.zeros((1, 128, 128, 3), np.uint8)
     dets = np.asarray(serve(img, np.array([[128.0, 128.0]], np.float32)))
     assert dets.shape[0] == 1 and dets.shape[2] == 6
+
+
+def test_serve_artifact_cli(tmp_path):
+    """Artifact-only serving loop: export -> serve_artifact.py over a dir of
+    odd-sized images -> detections json (+ drawn boxes)."""
+    import cv2
+    import json
+
+    det = _tiny_detector()
+    art = str(tmp_path / "det.shlo")
+    save_serving(art, export_detector(det, batch=2))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    r = np.random.RandomState(0)
+    for i, (h, w) in enumerate([(97, 153), (64, 64), (200, 120)]):
+        cv2.imwrite(str(img_dir / f"i{i}.jpg"),
+                    r.randint(0, 255, (h, w, 3)).astype(np.uint8))
+
+    out = str(tmp_path / "dets.json")
+    draw = str(tmp_path / "drawn")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "serve_artifact.py"),
+         "--artifact", art, "--image_dir", str(img_dir), "--out", out,
+         "--draw_dir", draw, "--score_thresh", "0.0", "--use_gpu", "0"],
+        capture_output=True, text=True, cwd=REPO, timeout=480)
+    assert res.returncode == 0, res.stderr[-2000:]
+    dets = json.load(open(out))
+    assert isinstance(dets, list)
+    for d in dets:
+        assert set(d) == {"image", "label", "score", "bbox"}
+    assert len(os.listdir(draw)) == 3
