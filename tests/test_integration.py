@@ -103,3 +103,19 @@ def test_resume_from_checkpoint(tmp_path):
                           model_path=os.path.join(wdir, "step00000004.npz"))
     state = run_training(cfg2, ndev=1, weights_dir=wdir)
     assert int(np.asarray(state.step)) == 6
+
+
+def test_training_metrics_jsonl(tmp_path):
+    """run_training persists loss curves to weights_dir/metrics.jsonl —
+    the observability surface the reference lacks (stdout-only logs)."""
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=4)
+    cfg = ItCfg(anno_path, img_dir, str(tmp_path))
+    cfg.train_cfg = dict(cfg.train_cfg, max_iters=20, save_iter=10**9)
+    from train import run_training
+    wdir = str(tmp_path / "w")
+    run_training(cfg, ndev=1, weights_dir=wdir)
+    lines = [json.loads(l) for l in open(os.path.join(wdir, "metrics.jsonl"))]
+    assert lines, "no metrics rows written"
+    row = lines[0]
+    assert {"iter", "time", "total_loss", "imgs_per_sec"} <= set(row)
+    assert np.isfinite(row["total_loss"])

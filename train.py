@@ -11,6 +11,7 @@ Differences from the reference hot loop (train.py:395-504):
     them on resume)
 """
 import argparse
+import json
 import logging
 import os
 import sys
@@ -151,6 +152,7 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         max_batch=max(tc.get("max_batch", 3), scan_steps))
 
     os.makedirs(weights_dir, exist_ok=True)
+    metrics_path = os.path.join(weights_dir, "metrics.jsonl")
     ckpt = AsyncCheckpointer()
     best_ap = -1.0
     eval_det = None  # reused across periodic evals (set_params avoids retrace)
@@ -231,6 +233,16 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                     perf += f" (mfu {u:.1%})"
             logger.info("iter %d, %s, %.1f imgs/s%s, eta %.1fh",
                         it, msg, spd, perf, eta_s / 3600)
+            if is_main:
+                # persistent loss curves (the reference logs to stdout only)
+                with open(metrics_path, "a") as mf:
+                    mf.write(json.dumps({
+                        "iter": it, "time": time.time(), **losses,
+                        "imgs_per_sec": round(spd, 2),
+                        "tflops": (round(flops / unit_s / 1e12, 3)
+                                   if flops else None),
+                        "mfu": round(u, 4) if u is not None else None,
+                    }) + "\n")
 
         if (is_main and it % tc["save_iter"] < scan_steps
                 and it >= tc["save_iter"]):
@@ -259,6 +271,9 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                               cfg.eval_cfg["eval_batch_size"])
             ap = float(stats[0]) if stats is not None else -1
             logger.info("box ap: %.4f (best %.4f)", ap, best_ap)
+            with open(metrics_path, "a") as mf:
+                mf.write(json.dumps({"iter": it, "time": time.time(),
+                                     "box_ap": ap}) + "\n")
             if ap > best_ap:
                 best_ap = ap
                 ckpt.save_params(os.path.join(weights_dir, "best_model.npz"),
