@@ -45,10 +45,14 @@ void bbox_iou_xywh(const double* dt, int64_t nd, const double* gt, int64_t ng,
 
 // Greedy per-threshold matching (pycocotools cocoeval.evaluateImg inner
 // loop).  ious [nd, ng] row-major; g_ignore [ng] with non-ignored gts FIRST
-// (caller sorts); thrs [nt].  Outputs dt_m/gt_m [nt, nd] / [nt, ng] with -1
-// for unmatched.
+// (caller sorts); g_crowd [ng] is the iscrowd flag in the SAME order —
+// pycocotools lets only CROWD gts be matched by multiple dts
+// (`if gtm>0 and not iscrowd: continue`); an area-ignored non-crowd gt is
+// taken by its first match like a regular gt.  thrs [nt].  Outputs
+// dt_m/gt_m [nt, nd] / [nt, ng] with -1 for unmatched.
 void match_greedy(const double* ious, int64_t nd, int64_t ng,
-                  const uint8_t* g_ignore, const double* thrs, int64_t nt,
+                  const uint8_t* g_ignore, const uint8_t* g_crowd,
+                  const double* thrs, int64_t nt,
                   int64_t* dt_m, int64_t* gt_m) {
   for (int64_t t = 0; t < nt; ++t) {
     int64_t* dm = dt_m + t * nd;
@@ -59,7 +63,7 @@ void match_greedy(const double* ious, int64_t nd, int64_t ng,
       double best = std::min(thrs[t], 1.0 - 1e-10);
       int64_t m = -1;
       for (int64_t gi = 0; gi < ng; ++gi) {
-        if (gm[gi] >= 0 && !g_ignore[gi]) continue;
+        if (gm[gi] >= 0 && !g_crowd[gi]) continue;
         if (m > -1 && !g_ignore[m] && g_ignore[gi]) break;
         const double v = ious[di * ng + gi];
         if (v < best) continue;

@@ -49,19 +49,21 @@ def _bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray):
 def _match_img(dts, gts, ious_full, area_rng):
     """Match one (image, category) given precomputed IoUs in original gt
     order; dts already score-sorted and truncated to the largest maxDet."""
-    g_ignore = np.array([
-        bool(g.get("iscrowd", 0)) or g["area"] < area_rng[0]
-        or g["area"] > area_rng[1] for g in gts], bool)
+    g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], bool)
+    g_ignore = g_crowd | np.array([
+        g["area"] < area_rng[0] or g["area"] > area_rng[1] for g in gts], bool)
     # gt order: non-ignored first (pycocotools sorts by ignore flag)
     g_order = np.argsort(g_ignore, kind="stable")
     gts = [gts[i] for i in g_order]
     g_ignore = g_ignore[g_order]
+    g_crowd = g_crowd[g_order]
     ious = (ious_full[:, g_order] if ious_full.size
             else np.zeros((len(dts), len(gts))))
 
     T = len(IOU_THRS)
     from ..native import match_greedy as native_match
-    nm = native_match(ious, g_ignore, IOU_THRS) if ious.size else None
+    nm = (native_match(ious, g_ignore, g_crowd, IOU_THRS)
+          if ious.size else None)
     if nm is not None:
         dt_m, gt_m = nm
     else:
@@ -71,8 +73,12 @@ def _match_img(dts, gts, ious_full, area_rng):
             for di in range(len(dts)):
                 best, m = min(thr, 1 - 1e-10), -1
                 for gi in range(len(gts)):
-                    if gt_m[t, gi] >= 0 and not g_ignore[gi]:
-                        continue  # already matched (crowd can match many)
+                    # only CROWD gts may be matched by multiple dts
+                    # (pycocotools: `if gtm>0 and not iscrowd: continue`);
+                    # an area-ignored non-crowd gt is taken by its first
+                    # match like any regular gt
+                    if gt_m[t, gi] >= 0 and not g_crowd[gi]:
+                        continue
                     if m > -1 and not g_ignore[m] and g_ignore[gi]:
                         break     # into ignored gts: keep current match
                     if ious[di, gi] < best:

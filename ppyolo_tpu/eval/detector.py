@@ -43,6 +43,7 @@ class Detector:
         self.mean = np.array(cfg.normalizeImage["mean"], np.float32)
         self.std = np.array(cfg.normalizeImage["std"], np.float32)
         self.interp = int(cfg.resizeImage.get("interp", 2))
+        self.is_scale = bool(cfg.normalizeImage.get("is_scale", True))
         self.to_bgr = bool(cfg.permute.get("to_bgr", False))
         if self.to_bgr:
             # the reference normalizes with RGB-ordered constants THEN flips
@@ -82,8 +83,11 @@ class Detector:
     def _predict_fn(self, params, images, im_size):
         if images.dtype == jnp.uint8:
             # mirror NormalizeImage op-for-op so fp32 results are bitwise
-            # identical to the host path (golden fixtures depend on it)
-            x = images.astype(jnp.float32) / 255.0
+            # identical to the host path (golden fixtures depend on it);
+            # is_scale parity with make_train_step.prep_images
+            x = images.astype(jnp.float32)
+            if self.is_scale:
+                x = x / 255.0
             images = (x - self.mean) / self.std
         images = images.astype(self.compute_dtype)
         return self.model.predict(params, images, im_size, Ctx(train=False))

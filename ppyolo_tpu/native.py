@@ -57,7 +57,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.bbox_iou_xywh.argtypes = [f64p, i64, f64p, i64, u8p, f64p]
-        lib.match_greedy.argtypes = [f64p, i64, i64, u8p, f64p, i64, i64p, i64p]
+        lib.match_greedy.argtypes = [f64p, i64, i64, u8p, u8p, f64p, i64,
+                                     i64p, i64p]
         lib.gt2yolo_scatter.argtypes = [
             f32p, i32p, f32p, i32p, i64, i64, i32p, i64, f32p, i64, i64,
             ctypes.c_float, ctypes.c_float, i64, f32p]
@@ -86,9 +87,13 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray,
     return out
 
 
-def match_greedy(ious: np.ndarray, g_ignore: np.ndarray,
+def match_greedy(ious: np.ndarray, g_ignore: np.ndarray, g_crowd: np.ndarray,
                  thrs: np.ndarray):
-    """Native greedy matching; returns (dt_m, gt_m) [nt,nd]/[nt,ng] or None."""
+    """Native greedy matching; returns (dt_m, gt_m) [nt,nd]/[nt,ng] or None.
+
+    g_ignore marks gts excluded from scoring (crowd OR area-out-of-range);
+    g_crowd marks ONLY crowd gts — the ones multiple dts may match
+    (pycocotools cocoeval.py evaluateImg semantics)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -96,10 +101,12 @@ def match_greedy(ious: np.ndarray, g_ignore: np.ndarray,
     nt = len(thrs)
     ious = np.ascontiguousarray(ious, np.float64)
     gi = np.ascontiguousarray(g_ignore, np.uint8)
+    gc = np.ascontiguousarray(g_crowd, np.uint8)
     th = np.ascontiguousarray(thrs, np.float64)
     dt_m = np.zeros((nt, nd), np.int64)
     gt_m = np.zeros((nt, ng), np.int64)
     lib.match_greedy(_ptr(ious, ctypes.c_double), nd, ng,
-                     _ptr(gi, ctypes.c_uint8), _ptr(th, ctypes.c_double), nt,
+                     _ptr(gi, ctypes.c_uint8), _ptr(gc, ctypes.c_uint8),
+                     _ptr(th, ctypes.c_double), nt,
                      _ptr(dt_m, ctypes.c_int64), _ptr(gt_m, ctypes.c_int64))
     return dt_m, gt_m

@@ -32,7 +32,12 @@ BN_MOMENTUM = 0.1  # torch convention: running = (1-m)*running + m*batch
 #            program is pure StableHLO (required for jax.export artifacts —
 #            serialized mosaic custom-calls fault this runtime's worker)
 #   gather — the jnp gather formulation
-DCN_IMPL = "auto"
+# Stored in a ContextVar so concurrent tracing in another thread (e.g. the
+# in-training eval detector while an export runs) can't observe a different
+# thread's override mid-trace.
+import contextvars as _contextvars
+
+DCN_IMPL = _contextvars.ContextVar("DCN_IMPL", default="auto")
 
 
 class dcn_impl:
@@ -43,14 +48,11 @@ class dcn_impl:
         self.name = name
 
     def __enter__(self):
-        global DCN_IMPL
-        self._prev = DCN_IMPL
-        DCN_IMPL = self.name
+        self._token = DCN_IMPL.set(self.name)
         return self
 
     def __exit__(self, *exc):
-        global DCN_IMPL
-        DCN_IMPL = self._prev
+        DCN_IMPL.reset(self._token)
         return False
 
 
@@ -220,7 +222,7 @@ class ConvNormAct(Module):
                 bias=c["conv_offset"]["bias"],
             )
             k2 = self.ksize * self.ksize
-            impl = DCN_IMPL
+            impl = DCN_IMPL.get()
             if impl == "auto":
                 impl = ("pallas" if jax.default_backend() == "tpu"
                         else "gather")

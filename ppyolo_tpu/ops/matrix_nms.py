@@ -55,6 +55,9 @@ def _matrix_nms_single(
         flat = scores.reshape(a * c)
         masked = jnp.where(flat > score_threshold, flat, 0.0)
         vals, idx = lax.top_k(masked, k)                   # descending
+    # masking/top-k run in the score dtype (bf16 in bf16 serving — the bulk
+    # [A,C] traffic); the k-sized decay epilogue below is always fp32
+    vals = vals.astype(jnp.float32)
     valid = vals > score_threshold
     labels = idx % c
     box_idx = idx // c
@@ -108,6 +111,7 @@ def _multiclass_nms_single(boxes, scores, *, score_threshold, nms_threshold,
     flat = scores.reshape(a * c)
     masked = jnp.where(flat > score_threshold, flat, 0.0)
     vals, idx = lax.top_k(masked, k)
+    vals = vals.astype(jnp.float32)
     valid = vals > score_threshold
     labels = idx % c
     cand = boxes[idx // c]

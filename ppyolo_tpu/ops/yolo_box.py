@@ -28,11 +28,14 @@ def iou_aware_score(output, an_num: int, num_classes: int, factor: float):
     replaced by de_sigmoid(obj^(1-f) * ioup^f).
     """
     n, h, w, _ = output.shape
-    ioup = jax.nn.sigmoid(output[..., :an_num])                        # [N,S,S,an]
+    # the fuse itself runs in fp32 on the SMALL [N,S,S,an] slices (log/pow
+    # precision), regardless of the map dtype — for bf16 serving only the
+    # bulk map stays half-width; fp32 inputs are bitwise unchanged
+    ioup = jax.nn.sigmoid(output[..., :an_num].astype(jnp.float32))    # [N,S,S,an]
     rest = output[..., an_num:].reshape(n, h, w, an_num, 5 + num_classes)
-    obj = jax.nn.sigmoid(rest[..., 4])
+    obj = jax.nn.sigmoid(rest[..., 4].astype(jnp.float32))
     new_obj = de_sigmoid(jnp.power(obj, 1.0 - factor) * jnp.power(ioup, factor))
-    rest = rest.at[..., 4].set(new_obj)
+    rest = rest.at[..., 4].set(new_obj.astype(rest.dtype))
     return rest.reshape(n, h, w, an_num * (5 + num_classes))
 
 
@@ -66,20 +69,23 @@ def yolo_box(
     an = anchors.shape[0]
     out = output.reshape(n, s, s, an, 5 + num_classes)
 
-    grid = jnp.arange(s, dtype=out.dtype)
+    # Box math is ALWAYS fp32 (exp(wh) + image-pixel coords need the range);
+    # bf16 serving keeps only the bulk score tensor [N,A,C] half-width —
+    # fp32 inputs are bitwise unchanged (every cast below is a no-op).
+    box_raw = out[..., 0:4].astype(jnp.float32)
+    grid = jnp.arange(s, dtype=jnp.float32)
     gx = grid[None, None, :, None]                     # varies along W
     gy = grid[None, :, None, None]                     # varies along H
-    raw_xy = out[..., 0:2]
-    sig_xy = jax.nn.sigmoid(raw_xy)
+    sig_xy = jax.nn.sigmoid(box_raw[..., 0:2])
     px = (scale_x_y * sig_xy[..., 0] + gx - (scale_x_y - 1.0) * 0.5) * stride
     py = (scale_x_y * sig_xy[..., 1] + gy - (scale_x_y - 1.0) * 0.5) * stride
-    pwh = jnp.exp(out[..., 2:4]) * anchors.astype(out.dtype)           # [N,S,S,an,2]
+    pwh = jnp.exp(box_raw[..., 2:4]) * anchors.astype(jnp.float32)     # [N,S,S,an,2]
     pxy = jnp.stack([px, py], axis=-1)
     xy0 = pxy - pwh * 0.5
     xy1 = pxy + pwh * 0.5
     boxes = jnp.concatenate([xy0, xy1], axis=-1)                       # [N,S,S,an,4]
 
-    conf = jax.nn.sigmoid(out[..., 4:5])
+    conf = jax.nn.sigmoid(out[..., 4:5])               # score path: map dtype
     prob = jax.nn.sigmoid(out[..., 5:])
     scores = conf * prob                                               # [N,S,S,an,C]
 
@@ -90,8 +96,8 @@ def yolo_box(
     scores = scores.reshape(n, s * s * an, num_classes)
 
     # rescale from network-input pixels to original-image pixels
-    imh = im_size[:, 0:1].astype(out.dtype)
-    imw = im_size[:, 1:2].astype(out.dtype)
+    imh = im_size[:, 0:1].astype(jnp.float32)
+    imw = im_size[:, 1:2].astype(jnp.float32)
     net = float(s * stride)
     sx = (imw / net)[:, :, None]                                       # [N,1,1]
     sy = (imh / net)[:, :, None]

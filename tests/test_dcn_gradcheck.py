@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from ppyolo_tpu.ops.deform_conv import deform_conv2d
 from ppyolo_tpu.ops.deform_conv_pallas import deform_conv2d_onehot
 
+pytestmark = pytest.mark.slow
+
 
 @contextlib.contextmanager
 def enable_x64():

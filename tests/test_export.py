@@ -16,6 +16,9 @@ from ppyolo_tpu.models import PPYOLO
 from ppyolo_tpu.eval.detector import Detector
 from ppyolo_tpu.eval.export import (export_detector, load_serving,
                                     save_serving, load_serving_file)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -77,9 +80,14 @@ def test_serve_artifact_cli(tmp_path):
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
     r = np.random.RandomState(0)
-    for i, (h, w) in enumerate([(97, 153), (64, 64), (200, 120)]):
+    # 5 readable images through a batch-2 artifact -> 3 chunked calls (the
+    # fixed-batch artifact serves any request size; round-2 VERDICT #7)
+    for i, (h, w) in enumerate([(97, 153), (64, 64), (200, 120),
+                                (80, 140), (150, 90)]):
         cv2.imwrite(str(img_dir / f"i{i}.jpg"),
                     r.randint(0, 255, (h, w, 3)).astype(np.uint8))
+    # a corrupt file must be skipped with a warning, not crash the batch
+    (img_dir / "corrupt.jpg").write_bytes(b"\xff\xd8 not a real jpeg")
 
     out = str(tmp_path / "dets.json")
     draw = str(tmp_path / "drawn")
@@ -89,8 +97,11 @@ def test_serve_artifact_cli(tmp_path):
          "--draw_dir", draw, "--score_thresh", "0.0", "--use_gpu", "0"],
         capture_output=True, text=True, cwd=REPO, timeout=480)
     assert res.returncode == 0, res.stderr[-2000:]
+    assert "unreadable image skipped" in res.stderr
+    assert "5 images" in res.stdout
     dets = json.load(open(out))
     assert isinstance(dets, list)
     for d in dets:
         assert set(d) == {"image", "label", "score", "bbox"}
-    assert len(os.listdir(draw)) == 3
+        assert d["image"] != "corrupt.jpg"
+    assert len(os.listdir(draw)) == 5

@@ -10,6 +10,8 @@ import pytest
 
 from configs import PPYOLO_r18vd_Config
 
+pytestmark = pytest.mark.slow
+
 
 def _make_dataset(root, n_images=6, n_classes=3, size=96):
     import cv2

@@ -13,6 +13,7 @@ its gradients under saturated logits — independent of any compiler's
 reassociation choices, since no eps-sum remains to fold.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def _saturated_level(rng, n, s, an, nc, iou_aware):
     return out, tgt
 
 
+@pytest.mark.slow
 def test_full_loss_finite_and_differentiable_under_saturation():
     rng = np.random.RandomState(1)
     nc, an = 3, 3

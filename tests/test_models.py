@@ -25,6 +25,7 @@ def test_r18vd_forward_shapes():
     assert outs[1].shape == (1, 8, 8, 255)
 
 
+@pytest.mark.slow
 def test_r50vd_forward_shapes():
     cfg, model, params = build(PPYOLO_2x_Config)
     x = jnp.zeros((1, 128, 128, 3))
@@ -35,6 +36,7 @@ def test_r50vd_forward_shapes():
     assert outs[2].shape == (1, 16, 16, 258)
 
 
+@pytest.mark.slow
 def test_r50vd_predict_end_to_end():
     cfg, model, params = build(PPYOLO_2x_Config)
     x = jnp.array(np.random.RandomState(0).randn(2, 128, 128, 3), jnp.float32)

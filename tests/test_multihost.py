@@ -18,6 +18,8 @@ import pytest
 
 from tests.test_integration import _make_dataset
 
+pytestmark = pytest.mark.slow
+
 _WORKER = """
 import os, sys
 pid = int(sys.argv[1]); port = sys.argv[2]

@@ -29,7 +29,9 @@ def test_native_match_matches_python(lib):
     nd, ng = 9, 6
     ious = r.rand(nd, ng)
     g_ignore = np.array([0, 0, 0, 0, 1, 1], bool)  # non-ignored first
-    got = native.match_greedy(ious, g_ignore, IOU_THRS)
+    # exercise both ignored kinds: one crowd, one area-out-of-range
+    g_crowd = np.array([0, 0, 0, 0, 0, 1], bool)
+    got = native.match_greedy(ious, g_ignore, g_crowd, IOU_THRS)
     assert got is not None
     dt_m_n, gt_m_n = got
     # python oracle (same algorithm as coco_metric fallback)
@@ -40,7 +42,7 @@ def test_native_match_matches_python(lib):
         for di in range(nd):
             best, m = min(thr, 1 - 1e-10), -1
             for gi in range(ng):
-                if gt_m[t, gi] >= 0 and not g_ignore[gi]:
+                if gt_m[t, gi] >= 0 and not g_crowd[gi]:
                     continue
                 if m > -1 and not g_ignore[m] and g_ignore[gi]:
                     break

@@ -1,5 +1,6 @@
 """BN folding must be an exact graph rewrite (same predictions, fp32)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def test_fold_bn_preserves_outputs():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_bf16_outputs_close():
     cfg = PPYOLO_r18vd_Config()
     cfg.num_classes = 5

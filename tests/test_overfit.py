@@ -16,6 +16,8 @@ from ppyolo_tpu.train import make_train_step, init_train_state
 from ppyolo_tpu.data.targets import gt2yolo_targets
 from ppyolo_tpu.ops.module import Ctx
 
+pytestmark = pytest.mark.slow
+
 
 class OverfitCfg(PPYOLO_r18vd_Config):
     def __init__(self):

@@ -10,6 +10,8 @@ from ppyolo_tpu.ops.deform_conv import deform_conv2d
 from ppyolo_tpu.ops.deform_conv_pallas import (deform_conv2d_pallas,
                                                deform_conv2d_fast)
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("shape", [(2, 9, 9, 8, 16, 1), (1, 10, 10, 8, 12, 2)])
 def test_pallas_matches_jnp(shape):

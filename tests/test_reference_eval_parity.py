@@ -1,0 +1,264 @@
+"""End-to-end EVAL-STACK parity against the reference's own eval code.
+
+Round-2 judge item #1 (VERDICT.md): ``test_reference_parity`` proves model
+parity up to ``model.predict``, but the reference's mAP number also flows
+through its ``Decode.process_image`` (cv2 resize with interp=2,
+/root/reference/model/decode_np.py:125-140), its detections->COCO-json
+convention (+1 pixel w/h, 0.1 rounding, catid remap —
+/root/reference/tools/cocotools.py:159-191), and the shard-merge protocol
+(cocotools.py:77-98, 262-277).  Here we drive the reference's ACTUAL
+``Decode`` + ``tools.cocotools.eval`` (cuda no-op'd, pycocotools stubbed
+with a recorder) over a synthetic val set, drive this repo's full eval
+pipeline (``Detector`` + ``coco_eval``) over the same images with the same
+converted weights, and assert the merged ``bbox_detections.json`` entries
+match (same image_id/category_id multiset, bbox to ~0.15 px, score to 1e-3).
+
+Also cross-checks that feeding both frameworks' detection JSONs into this
+repo's ``evaluate_map`` yields the same mAP, linking convention parity to
+the metric that will adjudicate the 0.448 north star.
+"""
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+pytestmark = pytest.mark.slow
+
+REFERENCE_ROOT = "/root/reference"
+
+EVAL_SIZE = 96          # multiple of 32; keeps CPU runtime sane
+NUM_IMAGES = 5          # odd vs batch 2 -> exercises the ragged tail
+BATCH = 2
+
+
+@pytest.fixture(scope="module")
+def ref_eval():
+    """Import the reference's Decode + cocotools with cuda no-op'd.
+
+    The reference's ``tools/`` is a REGULAR package (has __init__.py) while
+    this repo's ``tools/`` is a namespace dir — a regular package beats
+    namespace portions regardless of sys.path order, so while the reference
+    root is appended, ``tools.*`` resolves into /root/reference.  We snapshot
+    and purge any cached repo-side ``tools``/``model`` modules first and
+    restore them on teardown so later tests see the repo's namespace again.
+    """
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "tools" or k.startswith("tools.")
+             or k == "model" or k.startswith("model.")}
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    import model.decode_np as ref_decode_np
+    import model.ppyolo as ref_ppyolo
+    import model.resnet_vd as ref_resnet
+    import model.head as ref_head
+    import tools.cocotools as ref_cocotools
+
+    yield types.SimpleNamespace(
+        Decode=ref_decode_np.Decode,
+        cocotools=ref_cocotools,
+        PPYOLO=ref_ppyolo.PPYOLO,
+        Resnet18Vd=ref_resnet.Resnet18Vd,
+        Resnet50Vd=ref_resnet.Resnet50Vd,
+        YOLOv3Head=ref_head.YOLOv3Head,
+    )
+    while REFERENCE_ROOT in sys.path:
+        sys.path.remove(REFERENCE_ROOT)
+    for k in list(sys.modules):
+        if (k == "tools" or k.startswith("tools.")
+                or k == "model" or k.startswith("model.")):
+            sys.modules.pop(k)
+    sys.modules.update(saved)
+
+
+def _make_val_set(root):
+    """Synthetic val set: smooth random images at ragged sizes + COCO gt."""
+    rng = np.random.RandomState(11)
+    img_dir = os.path.join(root, "val")
+    os.makedirs(img_dir, exist_ok=True)
+    sizes = [(73, 118), (100, 100), (47, 95), (128, 64), (90, 77)]
+    images, annotations = [], []
+    for i, (h, w) in enumerate(sizes[:NUM_IMAGES]):
+        # low-res noise upsampled -> smooth content (not adversarial to
+        # cubic-resize rounding ties)
+        small = rng.randint(0, 255, (8, 8, 3), np.uint8)
+        img = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+        name = f"im_{i:04d}.png"
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        images.append({"id": 1000 + i, "file_name": name,
+                       "height": h, "width": w})
+        for j in range(2):
+            x0 = float(rng.uniform(0, w * 0.5))
+            y0 = float(rng.uniform(0, h * 0.5))
+            bw = float(rng.uniform(4, w * 0.4))
+            bh = float(rng.uniform(4, h * 0.4))
+            annotations.append({
+                "id": len(annotations) + 1, "image_id": 1000 + i,
+                "category_id": int(rng.choice([1, 3, 18])),
+                "bbox": [x0, y0, bw, bh], "area": bw * bh, "iscrowd": 0,
+            })
+    gt = {"images": images, "annotations": annotations,
+          "categories": [{"id": c, "name": str(c)} for c in range(1, 91)]}
+    anno_file = os.path.join(root, "val.json")
+    with open(anno_file, "w") as f:
+        json.dump(gt, f)
+    return images, img_dir, anno_file, gt
+
+
+class _FakeCOCO:
+    """pycocotools recorder: captures the merged-json path bbox_eval loads."""
+    last = None
+
+    def __init__(self, anno_file):
+        self.anno_file = anno_file
+
+    def loadRes(self, jsonfile):
+        _FakeCOCO.last = jsonfile
+        return self
+
+
+class _FakeCOCOeval:
+    def __init__(self, gt, dt, style):
+        self.stats = np.zeros(12)
+        self.params = types.SimpleNamespace()
+
+    def evaluate(self):
+        pass
+
+    def accumulate(self):
+        pass
+
+    def summarize(self):
+        pass
+
+
+@pytest.fixture()
+def fake_pycocotools():
+    """Intercept ``from pycocotools.coco import COCO`` inside bbox_eval."""
+    fake_pkg = types.ModuleType("pycocotools")
+    fake_coco = types.ModuleType("pycocotools.coco")
+    fake_coco.COCO = _FakeCOCO
+    fake_eval = types.ModuleType("pycocotools.cocoeval")
+    fake_eval.COCOeval = _FakeCOCOeval
+    fake_pkg.coco = fake_coco
+    fake_pkg.cocoeval = fake_eval
+    saved = {k: sys.modules.get(k) for k in
+             ("pycocotools", "pycocotools.coco", "pycocotools.cocoeval")}
+    sys.modules["pycocotools"] = fake_pkg
+    sys.modules["pycocotools.coco"] = fake_coco
+    sys.modules["pycocotools.cocoeval"] = fake_eval
+    yield
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+
+
+def _sorted_dets(dets):
+    return sorted(dets, key=lambda d: (d["image_id"], d["category_id"],
+                                       -d["score"], d["bbox"]))
+
+
+def test_reference_eval_stack_parity(ref_eval, fake_pycocotools, tmp_path,
+                                     monkeypatch):
+    import test_reference_parity as base
+
+    # the catid maps are a shared data contract — assert table equality first
+    from ppyolo_tpu.eval import COCO_CLSID2CATID
+    from ppyolo_tpu.eval.coco_eval import COCO_CATID2CLSID
+    assert ref_eval.cocotools.clsid2catid == COCO_CLSID2CATID
+    assert ref_eval.cocotools.catid2clsid == COCO_CATID2CLSID
+
+    import configs
+    import jax.numpy as jnp
+    from ppyolo_tpu.eval import Detector, coco_eval
+
+    cfg = configs.PPYOLO_r18vd_Config()
+    cfg.eval_cfg["target_size"] = EVAL_SIZE
+
+    # one reference state_dict seeds BOTH frameworks (test_reference_parity
+    # technique: randomized-but-sane weights, converter applied)
+    ref_model, my_model, params = base._build_pair(ref_eval, cfg)
+
+    images, img_dir, anno_file, gt = _make_val_set(str(tmp_path))
+    class_names = [str(i) for i in range(cfg.num_classes)]
+
+    # ---- reference pipeline: Decode + cocotools.eval (writes CWD-relative
+    # eval_results/, then bbox_eval loads the merged json via the recorder).
+    # The reference starts its shard-writer threads WITHOUT joining them
+    # before the merge (cocotools.py:248-260) — harmless at val2017 scale,
+    # a real race at 5 images — so we run writer/reader helpers
+    # synchronously and keep only read_eval_data on a real thread (it
+    # backpressures on the queue and would deadlock inline).
+    import threading as _threading
+    real_thread = _threading.Thread
+    read_fn = ref_eval.cocotools.read_eval_data
+
+    class _SelectiveThread:
+        def __init__(self, target=None, args=()):
+            self.target, self.args = target, args
+            self._t = (real_thread(target=target, args=args)
+                       if target is read_fn else None)
+
+        def start(self):
+            if self._t is not None:
+                self._t.start()
+            else:
+                self.target(*self.args)
+
+        def join(self):
+            if self._t is not None:
+                self._t.join()
+
+    monkeypatch.chdir(tmp_path)
+    ref_dec = ref_eval.Decode(ref_model, class_names, use_gpu=False,
+                              cfg=cfg, for_test=False)
+    _threading.Thread = _SelectiveThread
+    try:
+        with torch.no_grad():
+            ref_eval.cocotools.eval(
+                ref_dec, images, img_dir + "/", anno_file, BATCH,
+                ref_eval.cocotools.clsid2catid, draw_image=False,
+                draw_thresh=0.15, type="eval")
+    finally:
+        _threading.Thread = real_thread
+    assert _FakeCOCO.last is not None
+    with open(_FakeCOCO.last) as f:
+        ref_dets = json.load(f)
+
+    # ---- this repo's pipeline: Detector + coco_eval over the same files
+    det = Detector(my_model, params, cfg, target_size=EVAL_SIZE,
+                   fold_bn=False)
+    my_dir = str(tmp_path / "mine")
+    coco_eval(det, images, img_dir, anno_file, BATCH, type_="test_dev",
+              result_dir=my_dir, clsid2catid=COCO_CLSID2CATID)
+    with open(os.path.join(my_dir, "bbox_detections.json")) as f:
+        my_dets = json.load(f)
+
+    # ---- the merged detections JSONs must agree entry-for-entry
+    assert len(ref_dets) == len(my_dets), (
+        f"reference wrote {len(ref_dets)} detections, ours {len(my_dets)}")
+    assert len(ref_dets) > 20, "vacuous parity: almost no detections emitted"
+    for r, m in zip(_sorted_dets(ref_dets), _sorted_dets(my_dets)):
+        assert r["image_id"] == m["image_id"]
+        assert r["category_id"] == m["category_id"]
+        np.testing.assert_allclose(m["score"], r["score"], atol=1e-3)
+        # both sides round bbox to 0.1 px; allow one rounding step of slack
+        np.testing.assert_allclose(m["bbox"], r["bbox"], atol=0.15)
+
+    # ---- and the metric agrees: evaluate_map over each framework's json
+    from ppyolo_tpu.eval.coco_metric import evaluate_map
+
+    stats_ref = evaluate_map(gt, ref_dets, verbose=False)
+    stats_my = evaluate_map(gt, my_dets, verbose=False)
+    np.testing.assert_allclose(np.asarray(stats_my, np.float64),
+                               np.asarray(stats_ref, np.float64), atol=2e-3)

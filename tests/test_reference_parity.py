@@ -24,6 +24,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 REFERENCE_ROOT = "/root/reference"

@@ -4,6 +4,9 @@ import os
 import numpy as np
 
 from tests.test_integration import _make_dataset, ItCfg
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_run_training_scan_bf16(tmp_path):
@@ -55,3 +58,22 @@ def test_multi_shape_training_compiles_per_bucket(tmp_path):
     assert shapes_seen == {96, 128}
     # 2 shapes -> exactly 2 compiled variants cached
     assert step._cache_size() == 2
+
+
+def test_warmup_shapes_compiles_each_bucket(tmp_path):
+    """tools/warmup_shapes pre-compiles one executable per size bucket
+    (round-2 VERDICT item #6: un-warmed first epochs stall on up to 10
+    remote compiles)."""
+    from tests.test_integration import _make_dataset, ItCfg
+    from tools.warmup_shapes import warmup, dummy_batch
+
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=4)
+    cfg = ItCfg(anno_path, img_dir, str(tmp_path))
+    times = warmup(cfg, sizes=[96, 128], verbose=False)
+    assert set(times) == {96, 128}
+    assert all(t > 0 for t in times.values())
+
+    # the dummy batch matches the loader's shipped shapes/dtypes
+    b = dummy_batch(cfg, 96, cfg.train_cfg["batch_size"])
+    assert b["image"].shape[1:] == (96, 96, 3)
+    assert b["image"].dtype == np.uint8

@@ -9,6 +9,8 @@ from ppyolo_tpu.ops.module import Ctx
 from ppyolo_tpu.parallel import make_mesh, make_sharded_predict
 from configs import PPYOLO_r18vd_Config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_predict_matches_single():

@@ -1,6 +1,7 @@
 """Vectorized Gt2YoloTarget vs an independent per-sample loop oracle
 (spec: reference tools/transform.py:1318-1421)."""
 import numpy as np
+import pytest
 
 from ppyolo_tpu.data.targets import gt2yolo_targets
 
@@ -148,6 +149,7 @@ def _rand_gts(rng, b=3, m=50, nc=6, n_valid=12, collide=True):
     return gt_bbox, gt_class, gt_score
 
 
+@pytest.mark.slow
 def test_device_targets_match_numpy(tmp_path):
     """gt2yolo_targets_device (dense argmax-gather, jnp) == numpy scatter,
     incl. collision last-wins + multi-hot class semantics."""

@@ -120,6 +120,7 @@ def test_obj_loss_ignore_mask():
     assert float(neg[0]) < float(neg_none[0])
 
 
+@pytest.mark.slow
 def test_train_step_overfits_tiny_batch():
     cfg = TinyCfg(norm="bn")
     model = PPYOLO.from_config(cfg)
@@ -147,6 +148,7 @@ def test_train_step_overfits_tiny_batch():
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
 
 
+@pytest.mark.slow
 def test_multi_train_step_matches_sequential():
     """lax.scan'ed K-step trainer == K sequential jitted steps."""
     from ppyolo_tpu.train.train_step import make_multi_train_step
@@ -178,6 +180,7 @@ def test_multi_train_step_matches_sequential():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bf16_train_step_runs_and_learns():
     cfg = TinyCfg(norm="bn")
     model = PPYOLO.from_config(cfg)
@@ -196,6 +199,7 @@ def test_bf16_train_step_runs_and_learns():
     assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_multichip_step_matches_single():
     cfg = TinyCfg(norm="sync_bn", drop_block=False)
@@ -229,6 +233,7 @@ def test_multichip_step_matches_single():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain():
     """jax.checkpoint'ed backbone must not change the step numerics."""
     cfg = TinyCfg(norm="bn")
@@ -249,6 +254,7 @@ def test_remat_step_matches_plain():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_mesh_scan_matches_sequential_sharded_steps():
     """scan_steps>1 under a mesh (shard_multi_train_step) must equal the same
@@ -287,6 +293,7 @@ def test_mesh_scan_matches_sequential_sharded_steps():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_device_normalize_matches_host_normalize():
     """uint8 transport + on-device (x/255-mean)/std == host NormalizeImage.
 
@@ -370,6 +377,7 @@ def test_loader_ships_uint8_when_device_normalize():
         b2["image"], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_empty_gt_batch_trains_finite():
     """A batch with ZERO valid gt boxes (all-padding) must produce finite
     losses (pure-negative obj loss) and finite updated params through the
@@ -397,6 +405,7 @@ def test_empty_gt_batch_trains_finite():
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_device_normalize_to_bgr_constant_flip():
     """permute.to_bgr=True: the loader flips channels BEFORE the uint8 ship,
     so the on-device normalize must use FLIPPED mean/std to reproduce the

@@ -12,6 +12,8 @@ from tools.voc2txt import convert_split
 from tools.txt2json import txt_to_json
 from configs import PPYOLO_2x_Custom_Config
 
+pytestmark = pytest.mark.slow
+
 
 def _make_voc(root, n=4):
     cv2 = pytest.importorskip("cv2")

@@ -32,6 +32,11 @@ def main():
     p.add_argument("--out", default="detections.json")
     p.add_argument("--draw_dir", default="")
     p.add_argument("--score_thresh", type=float, default=0.15)
+    p.add_argument("--interp", default="cubic",
+                   choices=["nearest", "linear", "cubic", "area", "lanczos"],
+                   help="host resize interpolation — must match the "
+                        "exporting config's resizeImage['interp'] "
+                        "(cubic for all shipped configs)")
     p.add_argument("--use_gpu", type=str2bool, default=True)
     args = p.parse_args()
     if not args.use_gpu:
@@ -41,6 +46,10 @@ def main():
     import cv2
     import jax.numpy as jnp
     from jax import export as jexport
+
+    interp = {"nearest": cv2.INTER_NEAREST, "linear": cv2.INTER_LINEAR,
+              "cubic": cv2.INTER_CUBIC, "area": cv2.INTER_AREA,
+              "lanczos": cv2.INTER_LANCZOS4}[args.interp]
 
     with open(args.artifact, "rb") as f:
         exp = jexport.deserialize(f.read())
@@ -58,15 +67,22 @@ def main():
         raise SystemExit(f"no images in {args.image_dir}")
 
     results = []
+    skipped = []
     for i in range(0, len(files), batch):
-        chunk = files[i:i + batch]
+        chunk = []
         ims, sizes = [], []
-        for f in chunk:
+        for f in files[i:i + batch]:
             bgr = cv2.imread(f)
+            if bgr is None:
+                skipped.append(f)
+                continue
+            chunk.append(f)
             rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
             sizes.append([bgr.shape[0], bgr.shape[1]])
             ims.append(cv2.resize(rgb, (size, size),
-                                  interpolation=cv2.INTER_CUBIC))
+                                  interpolation=interp))
+        if not chunk:
+            continue
         while len(ims) < batch:          # pad the tail by repetition
             ims.append(ims[-1])
             sizes.append(sizes[-1])
@@ -92,7 +108,10 @@ def main():
 
     with open(args.out, "w") as f:
         json.dump(results, f)
-    print(f"{len(files)} images -> {len(results)} detections -> {args.out}")
+    for f in skipped:
+        print(f"WARNING: unreadable image skipped: {f}", file=sys.stderr)
+    print(f"{len(files) - len(skipped)} images -> {len(results)} detections "
+          f"-> {args.out}")
 
 
 if __name__ == "__main__":
