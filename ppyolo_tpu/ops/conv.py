@@ -78,6 +78,15 @@ def conv2d(x, w, *, stride: int = 1, padding: int = 0, bias=None):
     For bf16 operands the MXU accumulates in fp32 natively; requesting
     ``preferred_element_type=f32`` there would break the transpose (weight
     gradient) rule with mixed dtypes, so it is only set for fp32 inputs.
+
+    NOTE (r3 measured no-go): the stem conv1_1 (3x3/s2, cin=3) lowers at
+    ~0.7% MXU (0.95 ms/batch b8@608 = 11% of the backbone).  Two exact
+    space-to-depth rewrites (2x2/s1 conv on packed [.,304,304,12] input)
+    halved the conv itself (0.59 ms) but the packing data movement cost
+    MORE on this backend: reshape/transpose pack +1.3 ms/batch of layout
+    copies, strided-slice+concat pack +4 ms/batch of slice fusions — both
+    net regressions (full 12.96 -> 13.41 ms/batch).  Keep the direct
+    lowering; see docs/DESIGN.md per-conv table.
     """
     pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(

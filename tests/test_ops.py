@@ -362,3 +362,4 @@ def test_multiclass_nms_matches_greedy_oracle():
         assert row[0] == lbl
         np.testing.assert_allclose(row[1], s, rtol=1e-5)
         np.testing.assert_allclose(row[2:], b, rtol=1e-5)
+

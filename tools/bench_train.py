@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--size", type=int, default=608)
     ap.add_argument("--host_targets", action="store_true",
                     help="ship host-built target tensors (old transport)")
+    ap.add_argument("--profile", action="store_true",
+                    help="device-trace one scanned dispatch and print the "
+                         "hot-op + per-conv utilization tables (round-2 "
+                         "VERDICT #8: attribute the non-MXU train time)")
+    ap.add_argument("--trace_dir", default="/tmp/ppyolo_train_trace")
     a = ap.parse_args()
 
     import jax
@@ -150,6 +155,50 @@ def main():
               f"= {mfu_frac(fl, dev_ms / 1e3):.1%} MFU (bf16 peak 197T)")
     except Exception as e:  # noqa: BLE001
         print("cost analysis unavailable:", e)
+
+    if a.profile:
+        from ppyolo_tpu.utils.profiling import (trace_op_times,
+                                                conv_utilization_table)
+        import shutil
+        shutil.rmtree(a.trace_dir, ignore_errors=True)
+        jax.profiler.start_trace(a.trace_dir)
+        try:
+            _, trace = run_dev(state, dev_batch, jax.random.PRNGKey(4))
+            try:
+                np.asarray(trace)
+            except Exception as e:  # noqa: BLE001 - relay D2H inside a
+                # trace region occasionally faults; the dispatch itself
+                # completed, so keep whatever events were captured
+                print("sync inside trace region failed (continuing):", e)
+                time.sleep(5)
+        finally:
+            jax.profiler.stop_trace()
+        times = trace_op_times(a.trace_dir)
+        total_ms = sum(v for k, v in times.items()
+                       if not (k.startswith("$") or k.isdigit()))
+        print(f"\nhot ops (one scan-{a.iters} device dispatch, "
+              f"{total_ms:.1f} ms traced):")
+        shown = 0
+        for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+            if k.startswith("$") or k.isdigit() or "Function" in k:
+                continue
+            print(f"  {v:9.2f} ms  {v / max(total_ms, 1e-9):6.1%}  {k}")
+            shown += 1
+            if shown >= 25:
+                break
+        peak = 197e12 if a.precision == "bf16" else 49e12
+        hlo = (run_dev.lower(state, dev_batch, jax.random.PRNGKey(4))
+               .compile().as_text())
+        rows, n_hlo = conv_utilization_table(times, hlo, peak=peak,
+                                             repeat=a.iters)
+        if rows:
+            print(f"\nper-conv utilization ({len(rows)}/{n_hlo} convs "
+                  f"matched; fwd+bwd, peak {peak / 1e12:.0f} TF):")
+            print(f"  {'ms':>9} {'util':>6}  {'GFLOP':>8}  shape")
+            for ms, util, fli, shape, key in rows[:25]:
+                print(f"  {ms:9.2f} {util:6.1%}  {fli / 1e9:8.1f}  {shape}  ({key})")
+        else:
+            print("\n(no conv instructions matched trace names)")
 
 
 if __name__ == "__main__":
