@@ -248,3 +248,60 @@ def test_async_checkpointer_roundtrip(tmp_path):
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(s)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+
+
+def test_orbax_state_roundtrip_and_keep(tmp_path):
+    """Optional orbax backend (checkpoint/orbax_io.py): async save ->
+    restore equals source state; max_to_keep GC; latest_step resume."""
+    from ppyolo_tpu.checkpoint.orbax_io import OrbaxCheckpointer
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 4
+    cfg.head = dict(cfg.head, num_classes=4)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+
+    ck = OrbaxCheckpointer(str(tmp_path / "orbax"), keep=2)
+    for step in (5, 10, 15):
+        st = state._replace(step=jnp.asarray(step, jnp.int32))
+        ck.save(step, st)
+    ck.wait()
+    assert ck.latest_step() == 15
+    assert sorted(ck.mngr.all_steps()) == [10, 15]  # keep=2 GC
+
+    fresh = init_train_state(model, model.init(jax.random.PRNGKey(1)), cfg)
+    restored = ck.restore(fresh)
+    assert int(restored.step) == 15
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+    assert restored.ema is not None
+    for a, b in zip(jax.tree.leaves(state.ema), jax.tree.leaves(restored.ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ck.close()
+
+
+@pytest.mark.slow
+def test_run_training_orbax_backend_and_resume(tmp_path):
+    """train.py with ckpt_backend='orbax': checkpoints land under
+    weights_dir/orbax and a second run resumes from the latest step."""
+    from tests.test_integration import _make_dataset, ItCfg
+    from train import run_training
+    from ppyolo_tpu.checkpoint.orbax_io import OrbaxCheckpointer
+
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=4)
+    cfg = ItCfg(anno_path, img_dir, str(tmp_path))
+    cfg.train_cfg = dict(cfg.train_cfg, max_iters=2, save_iter=2,
+                         ckpt_backend="orbax")
+    wdir = str(tmp_path / "w")
+    state = run_training(cfg, ndev=1, weights_dir=wdir)
+    assert int(np.asarray(state.step)) == 2
+    ck = OrbaxCheckpointer(os.path.join(wdir, "orbax"))
+    assert ck.latest_step() == 2
+    ck.close()
+
+    # second run resumes from the orbax step and continues to 4
+    cfg.train_cfg = dict(cfg.train_cfg, max_iters=4)
+    state2 = run_training(cfg, ndev=1, weights_dir=wdir)
+    assert int(np.asarray(state2.step)) == 4

@@ -154,6 +154,19 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     os.makedirs(weights_dir, exist_ok=True)
     metrics_path = os.path.join(weights_dir, "metrics.jsonl")
     ckpt = AsyncCheckpointer()
+    # optional orbax backend (cfg.train_cfg['ckpt_backend']='orbax'):
+    # cross-host-coordinated atomic commits for multi-host runs; every
+    # process participates in save/restore (checkpoint/orbax_io.py)
+    orbax_ckpt = None
+    if tc.get("ckpt_backend", "npz") == "orbax":
+        from ppyolo_tpu.checkpoint.orbax_io import OrbaxCheckpointer
+
+        orbax_ckpt = OrbaxCheckpointer(os.path.join(weights_dir, "orbax"),
+                                       keep=10)
+        if orbax_ckpt.latest_step() is not None:
+            state = orbax_ckpt.restore(state)
+            logger.info("orbax resume from step %d",
+                        int(np.asarray(state.step)))
     best_ap = -1.0
     eval_det = None  # reused across periodic evals (set_params avoids retrace)
     time_q = deque(maxlen=20)
@@ -244,16 +257,24 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                         "mfu": round(u, 4) if u is not None else None,
                     }) + "\n")
 
-        if (is_main and it % tc["save_iter"] < scan_steps
-                and it >= tc["save_iter"]):
-            eval_params = state.ema if state.ema is not None else state.params
-            # async: device->host fetch here, npz encode + write off-loop
-            ckpt.save_params(os.path.join(weights_dir, f"step{it:08d}.npz"),
-                             eval_params)
-            ckpt.save_state(os.path.join(weights_dir, "last_state.npz"), state)
-            ckpt.wait()  # GC must see the finished file
-            gc_checkpoints(weights_dir, keep=10)
-            logger.info("saved %s/step%08d.npz", weights_dir, it)
+        if it % tc["save_iter"] < scan_steps and it >= tc["save_iter"]:
+            if orbax_ckpt is not None:
+                # every process participates (orbax coordinates the commit)
+                orbax_ckpt.save(it, state)
+                if is_main:
+                    logger.info("orbax checkpoint at step %d", it)
+            if is_main:
+                eval_params = (state.ema if state.ema is not None
+                               else state.params)
+                # async: device->host fetch here, npz encode + write off-loop
+                ckpt.save_params(
+                    os.path.join(weights_dir, f"step{it:08d}.npz"),
+                    eval_params)
+                ckpt.save_state(os.path.join(weights_dir, "last_state.npz"),
+                                state)
+                ckpt.wait()  # GC must see the finished file
+                gc_checkpoints(weights_dir, keep=10)
+                logger.info("saved %s/step%08d.npz", weights_dir, it)
 
         if (is_main and it % tc["eval_iter"] < scan_steps
                 and it >= tc["eval_iter"] and os.path.exists(cfg.val_path)):
@@ -281,6 +302,8 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
 
         if it >= tc["max_iters"]:
             ckpt.wait()
+            if orbax_ckpt is not None:
+                orbax_ckpt.wait()
             logger.info("done at iter %d", it)
             return state
 
