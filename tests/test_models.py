@@ -130,3 +130,37 @@ def test_detector_to_bgr_flips_norm_constants():
     det = Detector(model, params, cfg, target_size=64)
     assert np.allclose(det.mean, np.asarray(cfg.normalizeImage["mean"])[::-1])
     assert np.allclose(det.std, np.asarray(cfg.normalizeImage["std"])[::-1])
+
+
+def test_detector_honors_is_scale_false():
+    """ADVICE r2: the on-device uint8 normalize must honor
+    normalizeImage['is_scale'] exactly like make_train_step.prep_images —
+    a config with is_scale=False (raw 0..255 pixel domain) must not divide
+    by 255 at inference."""
+    import numpy as np
+    from configs import PPYOLO_r18vd_Config
+    from ppyolo_tpu.eval.detector import Detector
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 3
+    cfg.head = dict(cfg.head, num_classes=3)
+    cfg.normalizeImage = dict(cfg.normalizeImage, is_scale=False,
+                              mean=[120.0, 115.0, 100.0],
+                              std=[60.0, 58.0, 62.0])
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    det = Detector(model, params, cfg, target_size=96, fold_bn=False)
+    assert det.is_scale is False
+
+    r = np.random.RandomState(0)
+    img_u8 = r.randint(0, 256, (1, 96, 96, 3), np.uint8)
+    sizes = np.array([[96.0, 96.0]], np.float32)
+    out_u8 = det.predict_batch(img_u8, sizes)
+
+    # reference semantics: normalize WITHOUT /255, then predict fp32
+    x = img_u8.astype(np.float32)
+    x = (x - np.array(cfg.normalizeImage["mean"], np.float32)) / np.array(
+        cfg.normalizeImage["std"], np.float32)
+    out_f32 = det.predict_batch(x, sizes)
+    # device normalize vs host numpy normalize reassociate fp ops slightly
+    np.testing.assert_allclose(out_u8, out_f32, atol=1e-3, rtol=1e-4)
