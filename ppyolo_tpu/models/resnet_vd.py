@@ -22,6 +22,21 @@ import jax
 from ..ops.module import Ctx, Module
 from ..ops.conv import ConvNormAct
 from ..ops.blocks import avg_pool2d, max_pool2d
+from ..ops import stem_pallas
+
+
+def _apply_stem(children, params, x, ctx: Ctx):
+    """Deep stem (3x3x3 convs + maxpool, resnet_vd.py:100-108).  In eval
+    mode on TPU bf16 the whole chain runs as ONE fused Pallas kernel
+    (ops/stem_pallas.py) — the unfused convs are the backbone's worst
+    MXU-utilization ops (docs/DESIGN.md per-conv table)."""
+    mods = [children[f"stage1_conv1_{i}"] for i in (1, 2, 3)]
+    ps = [params[f"stage1_conv1_{i}"] for i in (1, 2, 3)]
+    if stem_pallas.stem_eligible(mods, x, ctx.train):
+        return stem_pallas.apply_fused_stem(mods, ps, x)
+    for m, p in zip(mods, ps):
+        x = m.apply(p, x, ctx)
+    return max_pool2d(x, 3, 2, 1)
 
 
 def _init_children(children: Dict[str, Module], key: jax.Array) -> Dict[str, Any]:
@@ -222,10 +237,7 @@ class ResNet50Vd(_Composite):
                     self.children_[name].set_frozen(True)
 
     def apply(self, params, x, ctx: Ctx) -> List[jax.Array]:
-        for i in (1, 2, 3):
-            n = f"stage1_conv1_{i}"
-            x = self.children_[n].apply(params[n], x, ctx)
-        x = max_pool2d(x, 3, 2, 1)
+        x = _apply_stem(self.children_, params, x, ctx)
         feats = {}
         for s in (2, 3, 4, 5):
             for name in self._stage_blocks[s]:
@@ -284,10 +296,7 @@ class ResNet18Vd(_Composite):
                     self.children_[name].set_frozen(True)
 
     def apply(self, params, x, ctx: Ctx) -> List[jax.Array]:
-        for i in (1, 2, 3):
-            n = f"stage1_conv1_{i}"
-            x = self.children_[n].apply(params[n], x, ctx)
-        x = max_pool2d(x, 3, 2, 1)
+        x = _apply_stem(self.children_, params, x, ctx)
         feats = {}
         for s in (2, 3, 4, 5):
             for name in self._stage_blocks[s]:
