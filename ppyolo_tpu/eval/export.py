@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 def export_detector(detector, *, batch: int,
                     platforms: Optional[Sequence[str]] = None,
-                    dcn: str = "onehot") -> bytes:
+                    dcn: str = "onehot", stem: str = "xla") -> bytes:
     """Serialize ``detector``'s predict program for ``batch`` images.
 
     platforms: lowering targets (e.g. ["tpu", "cpu"]); defaults to the
@@ -44,10 +44,15 @@ def export_detector(detector, *, batch: int,
     plain-XLA one-hot matmul — so the artifact is pure StableHLO with no
     backend custom calls (serialized Pallas/mosaic custom-calls are tied to
     the exporting libtpu and fault this runtime's worker when replayed).
+    stem: stem formulation, default "xla" (the unfused conv chain) for the
+    same portability reason — "pallas" traces the fused stem kernel
+    (ops/stem_pallas.py) into the artifact, tying it to the exporting
+    libtpu for ~1.5 ms/batch @ b8@608.
     """
     from jax import export as jexport
 
     from ..ops.conv import dcn_impl
+    from ..ops.stem_pallas import stem_impl
 
     size = detector.target_size
     params = detector.params
@@ -58,7 +63,7 @@ def export_detector(detector, *, batch: int,
     args = (jax.ShapeDtypeStruct((batch, size, size, 3), jnp.uint8),
             jax.ShapeDtypeStruct((batch, 2), jnp.float32))
     kw = {"platforms": list(platforms)} if platforms else {}
-    with dcn_impl(dcn):
+    with dcn_impl(dcn), stem_impl(stem):
         exp = jexport.export(jax.jit(serve), **kw)(*args)
     return exp.serialize()
 

@@ -105,3 +105,24 @@ def test_serve_artifact_cli(tmp_path):
         assert set(d) == {"image", "label", "score", "bbox"}
         assert d["image"] != "corrupt.jpg"
     assert len(os.listdir(draw)) == 5
+
+
+def test_export_pins_xla_stem_for_portability():
+    """Artifacts must stay pure StableHLO: even if the caller is inside a
+    stem_impl("pallas") context (the serving configuration on TPU), export
+    defaults to the unfused XLA stem — a serialized Mosaic custom call
+    would tie the artifact to the exporting libtpu (eval/export.py)."""
+    from jax import export as jexport
+    from ppyolo_tpu.ops.stem_pallas import stem_impl
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 6
+    cfg.head = dict(cfg.head, num_classes=6)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # bf16 + size 128 (%32==0): the stem kernel's eligibility conditions
+    det = Detector(model, params, cfg, target_size=128, precision="bf16")
+    with stem_impl("pallas"):
+        data = export_detector(det, batch=1)
+    mod = jexport.deserialize(data).mlir_module()
+    assert "tpu_custom_call" not in mod and "mosaic" not in mod
