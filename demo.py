@@ -26,7 +26,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
     p.add_argument("--use_gpu", type=str2bool, default=True)
-    p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16"],
+    p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16", "int8"],
                    help="bf16 = ~2x faster inference (fp32 decode/NMS kept)")
     p.add_argument("--image_dir", type=str, default="images/test")
     p.add_argument("--out_dir", type=str, default="images/res")

@@ -20,7 +20,7 @@ def main(type_: str = "eval"):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=0, choices=[0, 1, 2])
     p.add_argument("--use_gpu", type=str2bool, default=True)
-    p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16"],
+    p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16", "int8"],
                    help="bf16 = ~2x faster inference (fp32 decode/NMS kept)")
     args = p.parse_args()
     if not args.use_gpu:  # reference --use_gpu=0 semantics: run on host CPU

@@ -33,10 +33,14 @@ class Detector:
         self.cfg = cfg
         self._precision = precision
         self._fold_bn = fold_bn
-        if fold_bn or precision == "bf16":
+        if fold_bn or precision in ("bf16", "int8"):
             params = optimize_for_inference(params, precision=precision,
                                             fold_bn=fold_bn)
-            if precision == "bf16":
+            if precision in ("bf16", "int8"):
+                # int8 mode: conv matmuls run int8 on the MXU (weights
+                # pre-quantized, activations dynamically quantized per conv,
+                # ops/conv.py::quantized_conv2d); everything between convs
+                # rides bf16 and the decode/NMS epilogue stays fp32
                 compute_dtype = jnp.bfloat16
         self.params = params
         self.target_size = int(target_size or cfg.test_cfg["target_size"])
@@ -60,7 +64,7 @@ class Detector:
         reused (the periodic in-training eval would otherwise recompile)."""
         from .optimize import optimize_for_inference
 
-        if self._fold_bn or self._precision == "bf16":
+        if self._fold_bn or self._precision in ("bf16", "int8"):
             params = optimize_for_inference(
                 params, precision=self._precision, fold_bn=self._fold_bn)
         self.params = params

@@ -53,15 +53,57 @@ def fold_bn_params(params: Dict[str, Any], eps: float = BN_EPS) -> Dict[str, Any
     return unflatten_tree(flat)
 
 
-def cast_params(params: Dict[str, Any], dtype) -> Dict[str, Any]:
-    return jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+def cast_params(params: Dict[str, Any], dtype,
+                keep_fp32_suffixes=()) -> Dict[str, Any]:
+    flat = flatten_tree(params)
+    for k, v in flat.items():
+        if v.dtype == jnp.float32 and not any(
+                k.endswith(s) for s in keep_fp32_suffixes):
+            flat[k] = v.astype(dtype)
+    return unflatten_tree(flat)
+
+
+# Never int8-quantized: the deep-stem convs (they run through the fused
+# Pallas stem kernel, ops/stem_pallas.py, which folds float weights), and —
+# implicitly, by the has-BN rule below — the head's output-logit convs
+# (bias=True, norm=None) and the DCN offset/weight leaves (different key
+# names), both precision-sensitive.
+INT8_SKIP_PREFIXES = ("backbone.stage1_conv1_",)
+
+
+def quantize_params_int8(params: Dict[str, Any],
+                         skip_prefixes=INT8_SKIP_PREFIXES) -> Dict[str, Any]:
+    """Per-output-channel symmetric int8 weight quantization for every
+    BN-carrying plain conv.  Rewrites ``<mod>.conv.weight`` to int8 and adds
+    a ``<mod>.conv.weight_scale`` [O] fp32 leaf; ConvNormAct.apply dispatches
+    on the weight dtype (ops/conv.py::quantized_conv2d).  Call AFTER
+    fold_bn_params so the BN scale is inside the weight being quantized."""
+    flat = flatten_tree(params)
+    for wkey in [k for k in flat if k.endswith(".conv.weight")]:
+        mod = wkey[: -len(".conv.weight")]
+        if any(mod.startswith(p) for p in skip_prefixes):
+            continue
+        if f"{mod}.bn.weight" not in flat:
+            continue
+        w = np.asarray(flat[wkey], np.float32)  # HWIO
+        s = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+        flat[wkey] = jnp.asarray(
+            np.clip(np.round(w / s), -127, 127).astype(np.int8))
+        flat[f"{mod}.conv.weight_scale"] = jnp.asarray(s.astype(np.float32))
+    return unflatten_tree(flat)
 
 
 def optimize_for_inference(params: Dict[str, Any], *, precision: str = "fp32",
                            fold_bn: bool = True) -> Dict[str, Any]:
+    assert precision in ("fp32", "bf16", "int8"), precision
     if fold_bn:
         params = fold_bn_params(params)
-    if precision == "bf16":
+    if precision == "int8":
+        # int8 MXU matmuls (2x bf16 peak) for the BN-folded convs; bf16
+        # activations/other weights; dequant scales stay fp32
+        params = quantize_params_int8(params)
+        params = cast_params(params, jnp.bfloat16,
+                             keep_fp32_suffixes=(".weight_scale",))
+    elif precision == "bf16":
         params = cast_params(params, jnp.bfloat16)
     return params

@@ -102,6 +102,37 @@ def conv2d(x, w, *, stride: int = 1, padding: int = 0, bias=None):
     return y
 
 
+def quantized_conv2d(x, wq, w_scale, *, stride: int = 1, padding: int = 0,
+                     bias=None):
+    """int8 conv with dynamic per-tensor activation quantization.
+
+    The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 peak (394 vs 197
+    TOPS), so in int8 serving mode (eval/optimize.py::quantize_params_int8)
+    conv weights are pre-quantized per-output-channel and the activation is
+    quantized on the fly: s_x = amax(|x|)/127 (one cheap reduction XLA
+    overlaps with the previous op), conv in int8, dequantize in the conv
+    epilogue.  Symmetric quantization maps 0 -> 0, so SAME zero-padding is
+    exact.  Everything outside the conv itself stays in the compute dtype
+    (bf16), and the s_x * w_scale dequant product is formed in fp32.
+    """
+    x32 = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * (s_x * w_scale.astype(jnp.float32))).astype(
+        x.dtype)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def batch_norm(x, scale, bias, mean, var, *, train: bool, axis_name=None,
                eps: float = BN_EPS, momentum: float = BN_MOMENTUM):
     """BatchNorm over NHWC.  Returns (y, new_mean, new_var).
@@ -251,6 +282,16 @@ class ConvNormAct(Module):
                 stride=self.stride,
                 padding=self.padding,
                 bias=c.get("dcn_bias"),
+            )
+        elif c["weight"].dtype == jnp.int8:
+            # int8 serving mode (eval/optimize.py::quantize_params_int8)
+            x = quantized_conv2d(
+                x,
+                c["weight"],
+                c["weight_scale"],
+                stride=self.stride,
+                padding=self.padding,
+                bias=c.get("bias"),
             )
         else:
             x = conv2d(
