@@ -84,7 +84,7 @@ class Detector:
         return im[None], np.array([[h, w]], np.float32)
 
     # -- device program -----------------------------------------------------
-    def _predict_fn(self, params, images, im_size):
+    def _normalize(self, images):
         if images.dtype == jnp.uint8:
             # mirror NormalizeImage op-for-op so fp32 results are bitwise
             # identical to the host path (golden fixtures depend on it);
@@ -93,8 +93,41 @@ class Detector:
             if self.is_scale:
                 x = x / 255.0
             images = (x - self.mean) / self.std
-        images = images.astype(self.compute_dtype)
+        return images.astype(self.compute_dtype)
+
+    def _predict_fn(self, params, images, im_size):
+        images = self._normalize(images)
         return self.model.predict(params, images, im_size, Ctx(train=False))
+
+    def calibrate(self, pimages: np.ndarray) -> int:
+        """Pin static int8 activation scales from a calibration set
+        (preprocessed [N,S,S,3] images, uint8 or normalized fp32).
+
+        Records every quantized conv's input abs-max in one forward and
+        replaces the run-time dynamic amax with ``act_scale`` leaves — the
+        static quantize is pure elementwise work XLA fuses into the
+        producer, saving an extra HBM read of every conv input.  Returns
+        the number of convs pinned.  Call again after ``set_params``."""
+        assert self._precision == "int8", "calibrate() is for int8 mode"
+        from ..ops.module import flatten_tree, unflatten_tree
+
+        def fwd(params, images):
+            rec = {}
+            self.model.outputs(params, self._normalize(images),
+                               Ctx(train=False, record=rec))
+            return rec
+
+        rec = jax.device_get(jax.jit(fwd)(self.params, jnp.asarray(pimages)))
+        flat = flatten_tree(self.params)
+        n = 0
+        for mod, amax in rec.items():
+            wkey = f"{mod}.conv.weight"
+            if wkey in flat and flat[wkey].dtype == jnp.int8:
+                flat[f"{mod}.conv.act_scale"] = jnp.asarray(
+                    np.float32(max(float(amax), 1e-6) / 127.0))
+                n += 1
+        self.params = unflatten_tree(flat)
+        return n
 
     def predict_batch(self, pimages: np.ndarray, im_sizes: np.ndarray) -> np.ndarray:
         """pimages [B,S,S,3] preprocessed; im_sizes [B,2] (h,w).

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv import BN_EPS
-from ..ops.module import flatten_tree, unflatten_tree
+from ..ops.module import Ctx, flatten_tree, unflatten_tree
 
 
 def fold_bn_params(params: Dict[str, Any], eps: float = BN_EPS) -> Dict[str, Any]:
@@ -72,12 +72,24 @@ INT8_SKIP_PREFIXES = ("backbone.stage1_conv1_",)
 
 
 def quantize_params_int8(params: Dict[str, Any],
-                         skip_prefixes=INT8_SKIP_PREFIXES) -> Dict[str, Any]:
+                         skip_prefixes=INT8_SKIP_PREFIXES,
+                         act_scales: Dict[str, float] = None,
+                         min_k: int = 128) -> Dict[str, Any]:
     """Per-output-channel symmetric int8 weight quantization for every
     BN-carrying plain conv.  Rewrites ``<mod>.conv.weight`` to int8 and adds
     a ``<mod>.conv.weight_scale`` [O] fp32 leaf; ConvNormAct.apply dispatches
     on the weight dtype (ops/conv.py::quantized_conv2d).  Call AFTER
-    fold_bn_params so the BN scale is inside the weight being quantized."""
+    fold_bn_params so the BN scale is inside the weight being quantized.
+
+    ``min_k`` skips convs whose contraction dim k*k*cin < 128: they underfill
+    the 128-wide MXU and measured SLOWER in int8 than bf16 on v5e (the
+    stage-2 cin=64 1x1s: 0.83x, tools/probe_int8.py) — quantizing them would
+    cost accuracy for negative speed.
+
+    ``act_scales`` (from ``calibrate_act_scales``) optionally pins static
+    per-conv activation scales as ``<mod>.conv.act_scale`` leaves; without
+    them the activation scale is computed dynamically per tensor at run
+    time (ops/conv.py::quantized_conv2d)."""
     flat = flatten_tree(params)
     for wkey in [k for k in flat if k.endswith(".conv.weight")]:
         mod = wkey[: -len(".conv.weight")]
@@ -86,11 +98,38 @@ def quantize_params_int8(params: Dict[str, Any],
         if f"{mod}.bn.weight" not in flat:
             continue
         w = np.asarray(flat[wkey], np.float32)  # HWIO
+        if w.shape[0] * w.shape[1] * w.shape[2] < min_k:
+            continue
         s = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
         flat[wkey] = jnp.asarray(
             np.clip(np.round(w / s), -127, 127).astype(np.int8))
         flat[f"{mod}.conv.weight_scale"] = jnp.asarray(s.astype(np.float32))
+        if act_scales and mod in act_scales:
+            flat[f"{mod}.conv.act_scale"] = jnp.asarray(
+                np.float32(act_scales[mod]))
     return unflatten_tree(flat)
+
+
+def calibrate_act_scales(model, params: Dict[str, Any], images,
+                         ctx_kwargs=None) -> Dict[str, float]:
+    """Record per-conv input abs-max over a calibration batch set and turn
+    it into static activation scales (amax/127) for quantize_params_int8.
+
+    ``params`` should be the BN-folded float (fp32/bf16) params so the
+    recorded ranges match what the int8 model will see; ``images`` is an
+    iterable of normalized [B,H,W,3] arrays."""
+    def fwd(p, x):
+        rec: Dict[str, Any] = {}
+        model.outputs(p, x, Ctx(train=False, record=rec,
+                                **(ctx_kwargs or {})))
+        return rec
+    fwd_j = jax.jit(fwd)
+    amax: Dict[str, float] = {}
+    for x in images:
+        rec = jax.device_get(fwd_j(params, jnp.asarray(x)))
+        for k, v in rec.items():
+            amax[k] = max(amax.get(k, 0.0), float(v))
+    return {k: max(v, 1e-6) / 127.0 for k, v in amax.items()}
 
 
 def optimize_for_inference(params: Dict[str, Any], *, precision: str = "fp32",
@@ -103,7 +142,7 @@ def optimize_for_inference(params: Dict[str, Any], *, precision: str = "fp32",
         # activations/other weights; dequant scales stay fp32
         params = quantize_params_int8(params)
         params = cast_params(params, jnp.bfloat16,
-                             keep_fp32_suffixes=(".weight_scale",))
+                             keep_fp32_suffixes=(".weight_scale", ".act_scale"))
     elif precision == "bf16":
         params = cast_params(params, jnp.bfloat16)
     return params

@@ -103,20 +103,26 @@ def conv2d(x, w, *, stride: int = 1, padding: int = 0, bias=None):
 
 
 def quantized_conv2d(x, wq, w_scale, *, stride: int = 1, padding: int = 0,
-                     bias=None):
-    """int8 conv with dynamic per-tensor activation quantization.
+                     bias=None, act_scale=None):
+    """int8 conv with per-tensor activation quantization.
 
     The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 peak (394 vs 197
     TOPS), so in int8 serving mode (eval/optimize.py::quantize_params_int8)
     conv weights are pre-quantized per-output-channel and the activation is
-    quantized on the fly: s_x = amax(|x|)/127 (one cheap reduction XLA
-    overlaps with the previous op), conv in int8, dequantize in the conv
-    epilogue.  Symmetric quantization maps 0 -> 0, so SAME zero-padding is
-    exact.  Everything outside the conv itself stays in the compute dtype
-    (bf16), and the s_x * w_scale dequant product is formed in fp32.
+    quantized per tensor: dynamically (s_x = amax(|x|)/127, one reduction +
+    an extra read of x) when ``act_scale`` is None, or with a calibrated
+    static scale (eval/optimize.py::calibrate_act_scales) — the static form
+    is pure elementwise work that XLA fuses into the producer's epilogue,
+    so the bf16 tensor is read once and the quantize costs ~nothing.
+    Symmetric quantization maps 0 -> 0, so SAME zero-padding is exact.
+    Everything outside the conv itself stays in the compute dtype (bf16),
+    and the s_x * w_scale dequant product is formed in fp32.
     """
     x32 = x.astype(jnp.float32)
-    s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-6) / 127.0
+    if act_scale is None:
+        s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-6) / 127.0
+    else:
+        s_x = act_scale.astype(jnp.float32)
     xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
     y = lax.conv_general_dilated(
         xq,
@@ -253,6 +259,9 @@ class ConvNormAct(Module):
     # -- apply --------------------------------------------------------------
     def apply(self, params: Dict[str, Any], x, ctx: Ctx):
         c = params["conv"]
+        if ctx.record is not None and not self.use_dcn:
+            # int8 calibration: per-conv input abs-max (eval/optimize.py)
+            ctx.record[self.name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
         if self.use_dcn:
             om = conv2d(
                 x,
@@ -292,6 +301,7 @@ class ConvNormAct(Module):
                 stride=self.stride,
                 padding=self.padding,
                 bias=c.get("bias"),
+                act_scale=c.get("act_scale"),
             )
         else:
             x = conv2d(

@@ -37,12 +37,16 @@ class Ctx:
     updates:  dict collecting state updates {dotted_path: new_value} during
               trace; None disables collection (e.g. eval).
     axis_name: data-parallel mesh axis name for sync-BN psum, or None.
+    record:   dict collecting per-conv input abs-max {module_path: amax}
+              during trace (int8 calibration, eval/optimize.py); None
+              disables collection.
     """
 
     train: bool = False
     rng: Optional[jax.Array] = None
     updates: Optional[Dict[str, jax.Array]] = None
     axis_name: Optional[str] = None
+    record: Optional[Dict[str, jax.Array]] = None
 
     def layer_rng(self, uid: int) -> jax.Array:
         assert self.rng is not None, "stochastic layer needs ctx.rng"

@@ -87,6 +87,57 @@ def test_int8_model_outputs_track_bf16():
         assert c > 0.995, c
 
 
+def test_quantized_conv2d_static_scale_matches_dynamic():
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(1, 8, 8, 32).astype(np.float32))
+    w = r.randn(3, 3, 32, 64).astype(np.float32) * 0.1
+    s = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.asarray(np.clip(np.round(w / s), -127, 127).astype(np.int8))
+    sw = jnp.asarray(s)
+    dyn = np.asarray(quantized_conv2d(x, wq, sw, padding=1))
+    # static scale == the dynamic amax => bit-identical results
+    s_x = jnp.max(jnp.abs(x)) / 127.0
+    sta = np.asarray(quantized_conv2d(x, wq, sw, padding=1, act_scale=s_x))
+    np.testing.assert_array_equal(dyn, sta)
+
+
+def test_min_k_rule_skips_underfilled_convs():
+    from ppyolo_tpu.eval.optimize import quantize_params_int8, fold_bn_params
+    _, params = _tiny_model()
+    flat = flatten_tree(quantize_params_int8(fold_bn_params(params)))
+    for k, v in flat.items():
+        if k.endswith(".conv.weight") and v.dtype == jnp.int8:
+            assert v.shape[0] * v.shape[1] * v.shape[2] >= 128, k
+
+
+def test_calibration_pins_static_scales():
+    model, params = _tiny_model()
+
+    class _Cfg:
+        test_cfg = {"target_size": 128}
+        normalizeImage = {"mean": [0.485, 0.456, 0.406],
+                          "std": [0.229, 0.224, 0.225], "is_scale": True}
+        resizeImage = {"interp": 2}
+        permute = {"to_bgr": False}
+
+    from ppyolo_tpu.eval.detector import Detector
+    det = Detector(model, params, _Cfg(), precision="int8")
+    r = np.random.RandomState(4)
+    calib = r.randint(0, 255, (2, 128, 128, 3), dtype=np.uint8)
+    out_dyn = det.predict_batch(calib, np.array([[128, 128]] * 2, np.float32))
+    n = det.calibrate(calib)
+    assert n >= 5
+    flat = flatten_tree(det.params)
+    scales = [k for k in flat if k.endswith(".conv.act_scale")]
+    assert len(scales) == n
+    assert all(flat[k].dtype == jnp.float32 for k in scales)
+    # on the calibration images themselves, static == dynamic scales, so
+    # detections must agree closely
+    out_sta = det.predict_batch(calib, np.array([[128, 128]] * 2, np.float32))
+    assert out_sta.shape == out_dyn.shape
+    assert np.isfinite(out_sta[out_sta[..., 0] >= 0]).all()
+
+
 def test_int8_detector_end_to_end():
     model, params = _tiny_model()
 
