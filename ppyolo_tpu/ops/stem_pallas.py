@@ -64,6 +64,11 @@ import contextvars as _contextvars
 
 STEM_IMPL = _contextvars.ContextVar("STEM_IMPL", default="auto")
 
+# Per-grid-step output row count cap (tuning knob; see _largest_block_rows).
+# Larger blocks amortize per-step overhead and halo recompute but grow the
+# VMEM working set (~16 MB/core on v5e).
+BLOCK_ROWS_CAP = _contextvars.ContextVar("BLOCK_ROWS_CAP", default=20)
+
 
 class stem_impl:
     """Context manager pinning the stem implementation during tracing."""
@@ -81,11 +86,13 @@ class stem_impl:
         return False
 
 
-def _largest_block_rows(s4: int, cap: int = 20) -> int:
+def _largest_block_rows(s4: int, cap: int = None) -> int:
     """Largest divisor of S4 (pooled rows) not exceeding ``cap`` — the
     per-grid-step output row count.  Must be a multiple of 4 so the input
     slab's dynamic sublane offset (2*R*rb) is provably divisible by 8
     (a Mosaic vector.load requirement).  Bounds the VMEM slab sizes."""
+    if cap is None:
+        cap = BLOCK_ROWS_CAP.get()
     for r in range(cap - cap % 4, 0, -4):
         if s4 % r == 0:
             return r

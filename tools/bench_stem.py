@@ -26,7 +26,17 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="also compare kernel vs XLA outputs on device")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--rows_cap", type=int, default=0,
+                    help="override stem_pallas.BLOCK_ROWS_CAP (0 = default)")
+    ap.add_argument("--xla", action="store_true",
+                    help="also time the XLA conv chain (default: kernel only)")
     args = ap.parse_args()
+    if args.rows_cap:
+        from ppyolo_tpu.ops import stem_pallas
+        stem_pallas.BLOCK_ROWS_CAP.set(args.rows_cap)
+        from ppyolo_tpu.ops.stem_pallas import stem_shapes
+        print(f"rows_cap={args.rows_cap} -> R={stem_shapes(args.size)[2]}, "
+              f"grid steps/img={args.size // 4 // stem_shapes(args.size)[2]}")
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     rng = np.random.RandomState(0)
@@ -47,8 +57,11 @@ def main():
             return outs
         return run
 
+    variants = [("pallas", fused_stem)]
+    if args.xla:
+        variants.append(("xla", fused_stem_reference))
     results = {}
-    for name, fn in [("pallas", fused_stem), ("xla", fused_stem_reference)]:
+    for name, fn in variants:
         run = scan_over(fn)
         t0 = time.time()
         out = np.asarray(run(xs, ws))   # compile + run (np forces tunnel sync)
