@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..ops.module import Ctx, Module, next_uid
 from ..ops.conv import ConvNormAct
 from ..ops.blocks import coord_conv, spp, drop_block, upsample_nearest_2x
-from ..ops.yolo_box import yolo_box, iou_aware_score
+from ..ops.yolo_box import yolo_box_serving
 from ..ops.matrix_nms import matrix_nms, multiclass_nms
 from .resnet_vd import _Composite
 
@@ -266,13 +266,15 @@ class YOLOv3Head(_Composite):
             # the IoU-aware fuse, and the NMS decay epilogue are fp32
             # inside yolo_box/iou_aware_score/matrix_nms (round-2 VERDICT
             # item #4 — was a blanket fp32 cast of the whole maps here)
-            an = len(self.anchor_masks[i])
-            if self.iou_aware:
-                out = iou_aware_score(out, an, self.num_classes,
-                                      self.iou_aware_factor)
-            b, s = yolo_box(out, jnp.asarray(self.anchors[self.anchor_masks[i]]),
-                            self.downsample[i], self.num_classes, self.scale_x_y,
-                            im_size, self.clip_bbox)
+            # single-pass layout-friendly decode (per-anchor contiguous
+            # channel slices; bit-identical to iou_aware_score + yolo_box,
+            # ops/yolo_box.py::yolo_box_serving)
+            b, s = yolo_box_serving(
+                out, jnp.asarray(self.anchors[self.anchor_masks[i]]),
+                self.downsample[i], self.num_classes, self.scale_x_y,
+                im_size, self.clip_bbox,
+                iou_aware_factor=(self.iou_aware_factor if self.iou_aware
+                                  else None))
             boxes.append(b)
             scores.append(s)
         yolo_boxes = jnp.concatenate(boxes, axis=1)

@@ -192,6 +192,34 @@ def test_iou_aware_score():
     np.testing.assert_allclose(fused, obj ** 0.6 * ioup ** 0.4, rtol=1e-4)
 
 
+def test_yolo_box_serving_bitwise_matches_composed_path():
+    """The layout-friendly serving decode must reproduce
+    iou_aware_score -> yolo_box bit-for-bit in both dtypes."""
+    from ppyolo_tpu.ops.yolo_box import yolo_box_serving
+
+    an, c = 3, 80
+    anchors = jnp.array([[116, 90], [156, 198], [373, 326]], jnp.float32)
+    im_size = jnp.array([[480, 640], [333, 471]], jnp.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        out = jnp.asarray(rng.randn(2, 5, 5, an + an * (5 + c)) * 2, dt)
+        fused = iou_aware_score(out, an, c, 0.4)
+        b0, s0 = yolo_box(fused, anchors, 32, c, 1.05, im_size, True)
+        b1, s1 = yolo_box_serving(out, anchors, 32, c, 1.05, im_size, True,
+                                  iou_aware_factor=0.4)
+        np.testing.assert_array_equal(np.asarray(b0, np.float32),
+                                      np.asarray(b1, np.float32))
+        np.testing.assert_array_equal(np.asarray(s0, np.float32),
+                                      np.asarray(s1, np.float32))
+        # no-iou-aware path (r18vd)
+        out2 = jnp.asarray(rng.randn(2, 5, 5, an * (5 + c)), dt)
+        b0, s0 = yolo_box(out2, anchors, 32, c, 1.05, im_size, True)
+        b1, s1 = yolo_box_serving(out2, anchors, 32, c, 1.05, im_size, True)
+        np.testing.assert_array_equal(np.asarray(b0, np.float32),
+                                      np.asarray(b1, np.float32))
+        np.testing.assert_array_equal(np.asarray(s0, np.float32),
+                                      np.asarray(s1, np.float32))
+
+
 def _numpy_matrix_nms(boxes, scores, cfg):
     """Oracle: dynamic-shape numpy restatement of matrix_nms.py:51-151."""
     flat = scores.flatten()

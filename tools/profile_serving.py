@@ -179,6 +179,43 @@ def main():
         print("\n(no conv instructions matched trace names; inspect "
               f"{args.trace_dir} + HLO manually)")
 
+    # ---- non-conv hot ops: attribute to repo source via HLO metadata
+    conv_names = {r[4] for r in rows}
+    src_pat = re.compile(
+        r"%?([\w.\-]+) = (\S+?)\{?[^=]*? (?:fusion|copy|custom-call|sort|"
+        r"reduce|slice|reshape|convert|transpose|concatenate|select-and-"
+        r"scatter|dynamic-slice|dynamic-update-slice|iota|broadcast|pad)\(")
+    meta_pat = re.compile(
+        r'op_name="([^"]*)"(?:.*?source_file="([^"]*)".*?source_line=(\d+))?')
+    info = {}
+    for line in hlo.splitlines():
+        ls = line.strip()
+        if " = " not in ls:
+            continue
+        nm = ls.split(" = ", 1)[0].lstrip("%")
+        shape = ls.split(" = ", 1)[1].split(" ", 1)[0]
+        m = meta_pat.search(ls)
+        if m:
+            op, sf, sl = m.groups()
+            tail = op.split("/")[-1]
+            loc = f"{sf.split('/')[-1]}:{sl}" if sf else ""
+            info[nm] = (shape, tail, loc)
+        else:
+            info.setdefault(nm, (shape, "", ""))
+    print(f"\ntop non-conv ops with source attribution:")
+    shown = 0
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+        base = k.split("/")[-1]
+        if (k.startswith("$") or k.isdigit() or "Function" in k
+                or "asarray" in k or base in conv_names or k in conv_names
+                or base.startswith("while") or base.startswith("jit_")):
+            continue
+        shape, op, loc = info.get(base, ("?", "", ""))
+        print(f"  {v:9.2f} ms  {base:32s} {shape:28s} {op:22s} {loc}")
+        shown += 1
+        if shown >= args.top:
+            break
+
 
 if __name__ == "__main__":
     main()
