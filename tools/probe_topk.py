@@ -1,0 +1,118 @@
+"""Probe NMS candidate-selection variants on TPU (slope-timed).
+
+The serving trace attributes ~1.1 ms/batch to the two-stage top-k
+(mask-select 0.32 + anchor top_k 0.18 + stage-2 top_k custom-call 0.64,
+tools/profile_serving.py r3).  Variants:
+  v0  current: materialized mask -> anchor max -> top_k 512 -> gather ->
+      top_k 500 over [512*80]
+  v1  no masked materialization: mask fused into the reduce; the gathered
+      [512,80] sub-block re-masked (tiny)
+  v2  v1 with the stage-2 top_k in fp32
+  v3  v1 with stage-2 via full sort + slice
+Data is generated ON DEVICE (a [scan,B,A,C] host tensor would be >400 MB
+through the ~39 MB/s tunnel) and everything runs jitted (eager vmap would
+dispatch per-op through the tunnel).  Run: python tools/probe_topk.py
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+A, C, B = 22743, 80, 8
+KANCH, K = 512, 500
+THR = 0.01
+
+
+def v0(scores):
+    masked = jnp.where(scores > THR, scores, 0.0)
+    anchor_max = jnp.max(masked, axis=-1)
+    _, anchor_idx = lax.top_k(anchor_max, KANCH)
+    sub = masked[anchor_idx]
+    vals, sub_i = lax.top_k(sub.reshape(KANCH * C), K)
+    return vals, anchor_idx[sub_i // C] * C + sub_i % C
+
+
+def _sub(scores, anchor_idx):
+    sub_raw = scores[anchor_idx]
+    return jnp.where(sub_raw > THR, sub_raw, 0.0)
+
+
+def v1(scores):
+    anchor_max = jnp.max(jnp.where(scores > THR, scores, 0.0), axis=-1)
+    _, anchor_idx = lax.top_k(anchor_max, KANCH)
+    sub = _sub(scores, anchor_idx)
+    vals, sub_i = lax.top_k(sub.reshape(KANCH * C), K)
+    return vals, anchor_idx[sub_i // C] * C + sub_i % C
+
+
+def v2(scores):
+    anchor_max = jnp.max(jnp.where(scores > THR, scores, 0.0), axis=-1)
+    _, anchor_idx = lax.top_k(anchor_max, KANCH)
+    sub = _sub(scores, anchor_idx).astype(jnp.float32)
+    vals, sub_i = lax.top_k(sub.reshape(KANCH * C), K)
+    return vals, anchor_idx[sub_i // C] * C + sub_i % C
+
+
+def v3(scores):
+    anchor_max = jnp.max(jnp.where(scores > THR, scores, 0.0), axis=-1)
+    _, anchor_idx = lax.top_k(anchor_max, KANCH)
+    sub = _sub(scores, anchor_idx).reshape(KANCH * C)
+    order = jnp.argsort(-sub.astype(jnp.float32))[:K]
+    return sub[order], anchor_idx[order // C] * C + order % C
+
+
+def make_runner(fn, n_scan):
+    @jax.jit
+    def run(key):
+        def body(k, _):
+            k, sk = jax.random.split(k)
+            s = (jax.random.uniform(sk, (B, A, C), jnp.float32) ** 8
+                 ).astype(jnp.bfloat16)
+            vals, idx = jax.vmap(fn)(s)
+            return k, (vals.sum(dtype=jnp.float32), idx.sum(dtype=jnp.int32))
+        _, outs = lax.scan(body, key, None, length=n_scan)
+        return outs
+    return run
+
+
+def timeit(fn, lo=4, hi=16):
+    key = jax.random.PRNGKey(0)
+    rlo, rhi = make_runner(fn, lo), make_runner(fn, hi)
+
+    def once(r):
+        t0 = time.perf_counter()
+        np.asarray(r(key)[0])
+        return time.perf_counter() - t0
+
+    once(rlo), once(rhi)  # compile + warm
+    tlo = min(once(rlo) for _ in range(2))
+    thi = min(once(rhi) for _ in range(2))
+    return (thi - tlo) / (hi - lo)
+
+
+@jax.jit
+def agreement(key):
+    s = (jax.random.uniform(key, (B, A, C), jnp.float32) ** 8
+         ).astype(jnp.bfloat16)
+    ref = jnp.sort(jax.vmap(v0)(s)[1])
+    return [jnp.array_equal(jnp.sort(jax.vmap(f)(s)[1]), ref)
+            for f in (v1, v2, v3)]
+
+
+def main():
+    ok = jax.device_get(agreement(jax.random.PRNGKey(7)))
+    for (name, fn), agree in zip(
+            [("v1-fused-mask", v1), ("v2-fp32-stage2", v2),
+             ("v3-sort-stage2", v3)], ok):
+        print(f"{name}: idx set == v0: {bool(agree)}", flush=True)
+    for name, fn in [("v0-current", v0), ("v1-fused-mask", v1),
+                     ("v2-fp32-stage2", v2), ("v3-sort-stage2", v3)]:
+        t = timeit(fn)
+        print(f"{name:15s}: {t*1e3:7.3f} ms/batch (incl on-device rng)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
