@@ -22,6 +22,9 @@ def main(type_: str = "eval"):
     p.add_argument("--use_gpu", type=str2bool, default=True)
     p.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16", "int8"],
                    help="bf16 = ~2x faster inference (fp32 decode/NMS kept)")
+    p.add_argument("--ndev", type=int, default=1,
+                   help="data-parallel inference over the first N devices "
+                        "(eval_batch_size must divide by N)")
     args = p.parse_args()
     if not args.use_gpu:  # reference --use_gpu=0 semantics: run on host CPU
         import jax
@@ -29,10 +32,11 @@ def main(type_: str = "eval"):
     from configs import get_config
 
     return run_eval(get_config(args.config), type_=type_,
-                    precision=args.precision)
+                    precision=args.precision, ndev=args.ndev)
 
 
-def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32"):
+def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32",
+             ndev: int = 1):
     import jax
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.checkpoint import load_params_npz
@@ -66,8 +70,17 @@ def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32"):
     if type_ == "eval":  # keep only images with gt (reference eval.py:66-72)
         images = [im for im in images if coco.img_anns.get(im["id"])]
 
+    mesh = None
+    if ndev > 1:  # data-parallel eval — the reference is single-GPU-only
+        from ppyolo_tpu.parallel import make_mesh
+
+        assert cfg.eval_cfg["eval_batch_size"] % ndev == 0, (
+            f"eval_batch_size {cfg.eval_cfg['eval_batch_size']} must divide "
+            f"by --ndev {ndev}")
+        mesh = make_mesh(ndev)
+        logger.info("data-parallel eval over %d devices", ndev)
     det = Detector(model, params, cfg, target_size=cfg.eval_cfg["target_size"],
-                   precision=precision)
+                   precision=precision, mesh=mesh)
     from ppyolo_tpu.eval import get_classes
     class_names = (get_classes(cfg.classes_path)
                    if os.path.exists(cfg.classes_path) else None)

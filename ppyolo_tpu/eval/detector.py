@@ -26,7 +26,12 @@ class Detector:
 
     def __init__(self, model, params, cfg, *, target_size: Optional[int] = None,
                  compute_dtype=jnp.float32, precision: str = "fp32",
-                 fold_bn: bool = True):
+                 fold_bn: bool = True, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with one axis — predict
+        programs shard the batch over it (params replicated; detection is
+        embarrassingly batch-parallel so XLA partitions without collectives,
+        parallel/mesh.py::make_sharded_predict).  Batch sizes must divide by
+        the mesh size.  The reference is single-GPU-only (README.md:84-86)."""
         from .optimize import optimize_for_inference
 
         self.model = model
@@ -56,7 +61,20 @@ class Detector:
             self.mean = self.mean[::-1].copy()
             self.std = self.std[::-1].copy()
         self.compute_dtype = compute_dtype
-        self._predict_jit = jax.jit(self._predict_fn)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            self._rep = NamedSharding(mesh, P())
+            self._bsp = NamedSharding(mesh, P(axis))
+            self._scan_bsp = NamedSharding(mesh, P(None, axis))
+            self._predict_jit = jax.jit(
+                self._predict_fn,
+                in_shardings=(self._rep, self._bsp, self._bsp),
+                out_shardings=self._bsp)
+        else:
+            self._predict_jit = jax.jit(self._predict_fn)
 
     def set_params(self, params):
         """Swap model weights (re-applying BN-fold/precision) WITHOUT
@@ -158,7 +176,14 @@ class Detector:
                     return None, self._predict_fn(params, im, sz)
                 _, outs = jax.lax.scan(body, None, (images, sizes))
                 return outs
-            self._scan_jits[key] = jax.jit(many)
+            if self.mesh is not None:
+                # scan axis replicated, batch axis sharded over the mesh
+                self._scan_jits[key] = jax.jit(
+                    many,
+                    in_shardings=(self._rep, self._scan_bsp, self._scan_bsp),
+                    out_shardings=self._scan_bsp)
+            else:
+                self._scan_jits[key] = jax.jit(many)
         images = jnp.asarray(pimages).reshape(group, b, *pimages.shape[1:])
         sizes = jnp.asarray(im_sizes).reshape(group, b, 2)
         out = self._scan_jits[key](self.params, images, sizes)

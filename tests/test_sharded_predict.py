@@ -34,6 +34,36 @@ def test_sharded_predict_matches_single():
     np.testing.assert_allclose(got[..., 2:], ref[..., 2:], rtol=5e-3, atol=5e-2)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_detector_mesh_matches_single():
+    """Detector(mesh=...) — the user-facing eval.py --ndev path — must match
+    the single-device Detector through both predict entry points."""
+    from ppyolo_tpu.eval.detector import Detector
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 5
+    cfg.head = dict(cfg.head, num_classes=5)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    r = np.random.RandomState(1)
+    imgs = r.randint(0, 256, (8, 128, 128, 3)).astype(np.uint8)
+    sizes = np.tile([[128.0, 128.0]], (8, 1)).astype(np.float32)
+
+    det1 = Detector(model, params, cfg, target_size=128, fold_bn=False)
+    ref = det1.predict_batch(imgs, sizes)
+
+    detm = Detector(model, params, cfg, target_size=128, fold_bn=False,
+                    mesh=make_mesh(8))
+    got = detm.predict_batch(imgs, sizes)
+    np.testing.assert_allclose(got[..., :2], ref[..., :2], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got[..., 2:], ref[..., 2:], rtol=5e-3, atol=5e-2)
+
+    piped = detm.predict_pipelined(np.concatenate([imgs, imgs]),
+                                   np.concatenate([sizes, sizes]), group=2)
+    np.testing.assert_allclose(piped[:8, :, :2], ref[..., :2],
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_predict_pipelined_matches_batched():
     from ppyolo_tpu.eval.detector import Detector
 
