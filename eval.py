@@ -36,7 +36,7 @@ def main(type_: str = "eval"):
 
 
 def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32",
-             ndev: int = 1):
+             ndev: int = 1, result_dir: str = "eval_results"):
     import jax
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.checkpoint import load_params_npz
@@ -86,7 +86,7 @@ def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32",
                    if os.path.exists(cfg.classes_path) else None)
     stats = coco_eval(det, images, pre_path, anno_path,
                       cfg.eval_cfg["eval_batch_size"], type_=type_,
-                      clsid2catid=clsid2catid,
+                      result_dir=result_dir, clsid2catid=clsid2catid,
                       draw_image=cfg.eval_cfg.get("draw_image", False),
                       draw_thresh=cfg.eval_cfg.get("draw_thresh", 0.15),
                       class_names=class_names)

@@ -98,14 +98,31 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
     (reference cocotools.py:195-277).  Returns box AP stats (or writes the
     test-dev submission json when type_=='test_dev').  With draw_image, the
     detections above draw_thresh are rendered to result_dir/images
-    (cocotools.py:188-189)."""
+    (cocotools.py:188-189).
+
+    Multi-host: when the jax runtime spans processes, each process evaluates
+    a disjoint image shard into the shared result_dir (the per-image shard
+    files are the cross-host merge protocol — the reference's own
+    shard-then-merge design, cocotools.py:159-191, extended across hosts);
+    process 0 merges + evaluates, the rest return None.  Requires a shared
+    filesystem for result_dir."""
+    import jax
+
+    nproc, rank = jax.process_count(), jax.process_index()
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
     clsid2catid = clsid2catid or COCO_CLSID2CATID
     bbox_dir = os.path.join(result_dir, "bbox")
-    if os.path.exists(result_dir):
-        shutil.rmtree(result_dir, ignore_errors=True)
-    os.makedirs(bbox_dir, exist_ok=True)
-    if draw_image:
-        os.makedirs(os.path.join(result_dir, "images"), exist_ok=True)
+    if rank == 0:
+        if os.path.exists(result_dir):
+            shutil.rmtree(result_dir, ignore_errors=True)
+        os.makedirs(bbox_dir, exist_ok=True)
+        if draw_image:
+            os.makedirs(os.path.join(result_dir, "images"), exist_ok=True)
+    if nproc > 1:
+        multihost_utils.sync_global_devices("coco_eval_setup")
+        images = images[rank::nproc]  # disjoint per-host shards
 
     all_dets: List[dict] = []
     n = len(images)
@@ -173,6 +190,16 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
     writers.shutdown()
     cost = time.time() - start
     print(f"total time: {cost:.2f}s, speed: {n / max(cost, 1e-9):.1f} img/s")
+
+    if nproc > 1:
+        multihost_utils.sync_global_devices("coco_eval_shards")
+        if rank != 0:
+            return None
+        # other hosts' detections exist only as shard files: merge from disk
+        all_dets = []
+        for fname in sorted(os.listdir(bbox_dir)):
+            with open(os.path.join(bbox_dir, fname)) as f:
+                all_dets.extend(json.load(f))
 
     merged = os.path.join(result_dir, "bbox_detections.json")
     with open(merged, "w") as f:

@@ -43,6 +43,33 @@ print(f"[worker {pid}] done", flush=True)
 """
 
 
+_EVAL_WORKER = """
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+anno_path, img_dir, rdir, repo = sys.argv[3], sys.argv[4], sys.argv[5], sys.argv[6]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+sys.path.insert(0, repo)
+from tests.test_integration import ItCfg
+tmp = os.path.dirname(rdir)
+cfg = ItCfg(anno_path, img_dir, tmp)
+cfg.eval_cfg = dict(cfg.eval_cfg, eval_batch_size=2, target_size=96,
+                    draw_image=False)
+from eval import run_eval
+stats = run_eval(cfg, result_dir=rdir)
+if pid == 0:
+    assert stats is not None, "process 0 must produce stats"
+    print(f"EVAL_STATS {float(stats[0]):.6f}", flush=True)
+else:
+    assert stats is None, "non-zero processes must not evaluate"
+print(f"[worker {pid}] done", flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -85,3 +112,47 @@ def test_two_process_training_smoke(tmp_path):
     assert any(f.startswith("step") for f in os.listdir(tmp_path / "w0"))
     assert not (tmp_path / "w1").exists() or not any(
         f.startswith("step") for f in os.listdir(tmp_path / "w1"))
+
+
+def test_two_process_eval_smoke(tmp_path):
+    """Multi-host COCO eval: each process detects a disjoint image shard into
+    the shared result_dir; process 0 merges the per-image shard files and
+    evaluates (coco_eval.py multi-host path)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=8)
+    worker_path = tmp_path / "eval_worker.py"
+    worker_path.write_text(_EVAL_WORKER)
+    rdir = str(tmp_path / "eval_results")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker_path), str(pid), str(port),
+         anno_path, img_dir, rdir, repo],
+        cwd=repo, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"eval worker {pid} failed:\n{out[-4000:]}"
+    assert "EVAL_STATS" in outs[0] and "EVAL_STATS" not in outs[1]
+    # every image produced a shard file — both hosts' work landed
+    shards = os.listdir(os.path.join(rdir, "bbox"))
+    assert len(shards) == 8, shards
+    import json
+    with open(os.path.join(rdir, "bbox_detections.json")) as f:
+        merged = json.load(f)
+    # the merge must be exactly the union of every host's shard files
+    from_shards = []
+    for fname in sorted(shards):
+        with open(os.path.join(rdir, "bbox", fname)) as f:
+            from_shards.extend(json.load(f))
+    key = lambda d: (d["image_id"], d["category_id"], tuple(d["bbox"]))
+    assert sorted(map(key, merged)) == sorted(map(key, from_shards))
