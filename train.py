@@ -280,8 +280,16 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                 and it >= tc["eval_iter"] and os.path.exists(cfg.val_path)):
             eval_params = state.ema if state.ema is not None else state.params
             if eval_det is None:
+                # reuse the training mesh for data-parallel eval when the
+                # mesh is process-local (multi-host meshes would need every
+                # process in the jit, but eval is gated to process 0) and the
+                # eval batch divides over it
+                eval_mesh = (mesh if use_mesh and jax.process_count() == 1
+                             and cfg.eval_cfg["eval_batch_size"] % ndev == 0
+                             else None)
                 eval_det = Detector(model, eval_params, cfg,
-                                    target_size=cfg.eval_cfg["target_size"])
+                                    target_size=cfg.eval_cfg["target_size"],
+                                    mesh=eval_mesh)
             else:
                 eval_det.set_params(eval_params)
             det = eval_det
