@@ -117,7 +117,7 @@ def load_train_state(path: str, state):
     data = np.load(path)
     params = dict(flatten_tree(state.params))
     velocity = dict(state.velocity)
-    ema = dict(flatten_tree(state.ema)) if state.ema is not None else None
+    ema = dict(state.ema) if state.ema is not None else None
     step = state.step
     for k in data.files:
         if k.startswith("params/"):
@@ -125,11 +125,12 @@ def load_train_state(path: str, state):
         elif k.startswith("velocity/"):
             velocity[k[len("velocity/"):]] = jnp.asarray(data[k])
         elif k.startswith("ema/") and ema is not None:
-            ema[k[len("ema/"):]] = jnp.asarray(data[k])
+            kk = k[len("ema/"):]
+            if kk in ema:  # pre-r3 bundles shadowed EVERY leaf (incl. BN
+                ema[kk] = jnp.asarray(data[k])  # stats); keep trainables
         elif k == "step":
             step = jnp.asarray(data[k])
-    return TrainState(unflatten_tree(params), velocity,
-                      unflatten_tree(ema) if ema is not None else None, step)
+    return TrainState(unflatten_tree(params), velocity, ema, step)
 
 
 def resume_step_from_filename(path: str) -> Optional[int]:

@@ -167,7 +167,10 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
         params = merge_updates(params, bn_updates)
         ema = state.ema
         if use_ema and ema is not None:
-            ema = ema_update(ema, params, state.step, ema_decay)
+            # shadow covers the trainable subset only (flat, like velocity);
+            # frozen leaves / BN running stats eval at their current values
+            # (reference EMA registers requires_grad params only, EMA.py:24-28)
+            ema = ema_update(ema, new_trainable, state.step, ema_decay)
         new_state = TrainState(params, new_velocity, ema, state.step + 1)
         losses = dict(losses)
         losses["total_loss"] = total_loss(
@@ -211,7 +214,8 @@ def init_train_state(model, params, cfg) -> TrainState:
     trainable, _ = split_trainable(params, flat_policy)
     velocity = {k: jnp.zeros_like(v) for k, v in trainable.items()}
     # real copies: EMA must not alias the param buffers (donation would
-    # otherwise see the same buffer twice)
-    ema = (jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    # otherwise see the same buffer twice).  Trainable leaves only — see
+    # ops/ema.py scope-parity note.
+    ema = ({k: jnp.array(v, copy=True) for k, v in trainable.items()}
            if getattr(cfg, "use_ema", False) else None)
     return TrainState(params, velocity, ema, jnp.zeros((), jnp.int32))

@@ -72,3 +72,41 @@ def test_ema_warmup_rule():
     np.testing.assert_allclose(np.asarray(s0["w"]), 0.9, rtol=1e-6)
     s_late = ema_update(shadow, p, 10 ** 6, 0.9998)
     np.testing.assert_allclose(np.asarray(s_late["w"]), 0.0002, rtol=2e-4)
+
+
+def test_ema_scope_trainable_only():
+    """Reference EMA registers only requires_grad params (EMA.py:24-28):
+    frozen leaves and BN running stats eval at CURRENT values, the shadow
+    covers the trainable subset only."""
+    import jax
+    from ppyolo_tpu.ops.ema import ema_apply
+    from ppyolo_tpu.train.train_step import init_train_state
+    from ppyolo_tpu.models import PPYOLO
+    from configs import PPYOLO_r18vd_Config
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 4
+    cfg.head = dict(cfg.head, num_classes=4)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = init_train_state(model, params, cfg)
+    assert state.ema is not None
+    flat_policy = model.flat_policy()
+    # exactly the trainable leaves, no running stats, no frozen params
+    assert set(state.ema) == {k for k, pol in flat_policy.items()
+                              if pol.trainable}
+    assert not any(k.endswith(("running_mean", "running_var"))
+                   for k in state.ema)
+    # ema_apply: shadow overrides trainables, current values elsewhere
+    tk = next(iter(state.ema))
+    shadow = dict(state.ema)
+    shadow[tk] = shadow[tk] + 1.0
+    merged = ema_apply(state.params, shadow)
+    from ppyolo_tpu.ops.module import flatten_tree
+    flat_merged = flatten_tree(merged)
+    flat_params = flatten_tree(state.params)
+    np.testing.assert_allclose(np.asarray(flat_merged[tk]),
+                               np.asarray(flat_params[tk]) + 1.0)
+    rk = next(k for k in flat_params if k.endswith("running_mean"))
+    np.testing.assert_array_equal(np.asarray(flat_merged[rk]),
+                                  np.asarray(flat_params[rk]))

@@ -59,6 +59,7 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
     import jax.numpy as jnp
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.train import make_train_step, init_train_state
+    from ppyolo_tpu.ops.ema import ema_apply
     from ppyolo_tpu.train.train_step import make_multi_train_step
     from ppyolo_tpu.checkpoint import (load_params_npz, save_params_npz,
                                        save_train_state, load_train_state,
@@ -264,8 +265,8 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                 if is_main:
                     logger.info("orbax checkpoint at step %d", it)
             if is_main:
-                eval_params = (state.ema if state.ema is not None
-                               else state.params)
+                eval_params = (ema_apply(state.params, state.ema)
+                               if state.ema is not None else state.params)
                 # async: device->host fetch here, npz encode + write off-loop
                 ckpt.save_params(
                     os.path.join(weights_dir, f"step{it:08d}.npz"),
@@ -278,7 +279,8 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
 
         if (is_main and it % tc["eval_iter"] < scan_steps
                 and it >= tc["eval_iter"] and os.path.exists(cfg.val_path)):
-            eval_params = state.ema if state.ema is not None else state.params
+            eval_params = (ema_apply(state.params, state.ema)
+                           if state.ema is not None else state.params)
             if eval_det is None:
                 # reuse the training mesh for data-parallel eval when the
                 # mesh is process-local (multi-host meshes would need every
