@@ -24,9 +24,47 @@ from jax import lax
 from .iou import pairwise_iou
 
 
+def _topk_pairs(sub, k, nonneg: bool):
+    """Exact (vals, idx) of the k largest of a flat vector, descending,
+    ties broken by LOWEST index — lax.top_k semantics.
+
+    For non-negative bf16 inputs with n <= 65535 the (value, index) pair
+    packs into ONE u32 sort key: positive bf16 bit patterns order like the
+    values (high 16 bits) and the low 16 bits hold 65535-idx, so one
+    single-operand descending sort + slice replaces top_k's variadic
+    (value, iota) sort.  All keys are distinct, so the order is total:
+    value descending, then index ascending — exactly lax.top_k.  Measured
+    ~2x on the serving stage-2 candidate top-k (tools/probe_topk.py v5)."""
+    n = sub.shape[0]
+    if sub.dtype == jnp.bfloat16 and n <= 65535 and nonneg:
+        bits = lax.bitcast_convert_type(sub, jnp.uint16).astype(jnp.uint32)
+        keys = (bits << 16) | (65535 - lax.iota(jnp.uint32, n))
+        top = lax.sort(keys, is_stable=False)[::-1][:k]
+        vals = lax.bitcast_convert_type((top >> 16).astype(jnp.uint16),
+                                        jnp.bfloat16)
+        return vals, (65535 - (top & 0xFFFF)).astype(jnp.int32)
+    return lax.top_k(sub, k)
+
+
+def _gather_levels(arrs, idx):
+    """rows ``idx`` of the virtual concatenation of per-level arrays,
+    without materializing the concat (per-level gathers + masked sum;
+    out-of-level rows gather a clamped row and contribute exact 0)."""
+    out, off = None, 0
+    for x in arrs:
+        n = x.shape[0]
+        local = idx - off
+        g = x[jnp.clip(local, 0, n - 1)]
+        g = jnp.where(((local >= 0) & (local < n))[:, None], g,
+                      jnp.zeros_like(g))
+        out = g if out is None else out + g
+        off += n
+    return out
+
+
 def _matrix_nms_single(
-    boxes,            # [A, 4]
-    scores,           # [A, C]
+    boxes_list,       # tuple of [A_l, 4]
+    scores_list,      # tuple of [A_l, C]
     *,
     score_threshold: float,
     post_threshold: float,
@@ -35,9 +73,12 @@ def _matrix_nms_single(
     use_gaussian: bool,
     gaussian_sigma: float,
 ):
-    a, c = scores.shape
+    a = sum(s.shape[0] for s in scores_list)
+    c = scores_list[0].shape[1]
     k = min(nms_top_k, a * c)
     kanch = min(max(512, k), a)
+    # packed u32 sort keys need masked scores >= 0 (bf16 sign bit clear)
+    nonneg = score_threshold >= 0.0
     if c > 1 and a > 2 * kanch:
         # Two-stage exact top-k: prefilter kanch anchors by max class score,
         # then top-k over the [kanch*c] survivors.  Exact because any pair in
@@ -45,18 +86,20 @@ def _matrix_nms_single(
         # score; excluding that anchor would require kanch anchors each
         # contributing a strictly better pair, so rank > kanch >= k.
         # Measured 8.6x faster than sorting the full [a*c] on TPU.
-        # mask fused into the reduce (never materialize the [a,c] masked
-        # tensor — it costs a full HBM read+write, ~0.32 ms/batch at b8@608);
-        # the gathered [kanch,c] sub-block is re-masked instead (tiny)
-        anchor_max = jnp.max(
-            jnp.where(scores > score_threshold, scores, 0.0), axis=-1)  # [a]
+        # mask+max run PER LEVEL so only the [A_l] maxes concatenate — the
+        # [a,c] score concat never materializes (a full HBM write,
+        # ~0.3 ms/batch at b8@608); the gathered [kanch,c] sub-block is
+        # re-masked instead (tiny)
+        anchor_max = jnp.concatenate([
+            jnp.max(jnp.where(s > score_threshold, s, 0.0), axis=-1)
+            for s in scores_list])                         # [a]
         _, anchor_idx = lax.top_k(anchor_max, kanch)       # [kanch]
-        sub_raw = scores[anchor_idx]                       # [kanch, c]
+        sub_raw = _gather_levels(scores_list, anchor_idx)  # [kanch, c]
         sub = jnp.where(sub_raw > score_threshold, sub_raw, 0.0)
-        vals, sub_i = lax.top_k(sub.reshape(kanch * c), k)
+        vals, sub_i = _topk_pairs(sub.reshape(kanch * c), k, nonneg)
         idx = anchor_idx[sub_i // c] * c + sub_i % c
     else:
-        flat = scores.reshape(a * c)
+        flat = jnp.concatenate(scores_list, axis=0).reshape(a * c)
         masked = jnp.where(flat > score_threshold, flat, 0.0)
         vals, idx = lax.top_k(masked, k)                   # descending
     # masking/top-k run in the score dtype (bf16 in bf16 serving — the bulk
@@ -65,7 +108,7 @@ def _matrix_nms_single(
     valid = vals > score_threshold
     labels = idx % c
     box_idx = idx // c
-    cand = boxes[box_idx]                                  # [k, 4]
+    cand = _gather_levels(boxes_list, box_idx)             # [k, 4]
 
     iou = pairwise_iou(cand, cand, eps=1e-9)
     tri = jnp.triu(jnp.ones((k, k), bool), 1)
@@ -163,11 +206,16 @@ def multiclass_nms(boxes, scores, nms_cfg: Dict[str, Any]):
 def matrix_nms(boxes, scores, nms_cfg: Dict[str, Any]):
     """Batched Matrix-NMS.
 
-    boxes:  [B, A, 4] xyxy image-space; scores: [B, A, C].
+    boxes:  [B, A, 4] xyxy image-space; scores: [B, A, C] — or matching
+    LISTS of per-level [B, A_l, 4] / [B, A_l, C] (virtually concatenated
+    along the anchor axis; avoids materializing the [B, A, C] score concat
+    in HBM — the head passes its per-level decodes directly).
     nms_cfg: the reference nms_cfg dict (config/ppyolo_2x.py:143-151).
     Returns [B, keep_top_k, 6] rows of (label, score, x0, y0, x1, y1),
     -1 rows for empty slots.
     """
+    if not isinstance(boxes, (list, tuple)):
+        boxes, scores = (boxes,), (scores,)
     fn = functools.partial(
         _matrix_nms_single,
         score_threshold=float(nms_cfg["score_threshold"]),
@@ -177,4 +225,4 @@ def matrix_nms(boxes, scores, nms_cfg: Dict[str, Any]):
         use_gaussian=bool(nms_cfg.get("use_gaussian", False)),
         gaussian_sigma=float(nms_cfg.get("gaussian_sigma", 2.0)),
     )
-    return jax.vmap(fn)(boxes, scores)
+    return jax.vmap(fn)(tuple(boxes), tuple(scores))

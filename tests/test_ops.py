@@ -284,6 +284,49 @@ def test_matrix_nms_matches_oracle():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_matrix_nms_multilevel_matches_concat():
+    """List-of-levels input (the head's serving path) == concat input,
+    bitwise, on both the two-stage (A > 2*kanch) and flat paths, fp32 and
+    bf16 (the bf16 two-stage additionally exercises the packed u32 sort)."""
+    cfg = dict(score_threshold=0.01, post_threshold=0.01, nms_top_k=500,
+               keep_top_k=100, use_gaussian=False, gaussian_sigma=2.0)
+    r = np.random.RandomState(3)
+    for a_levels, dtype in [((768, 384, 256), np.float32),   # two-stage
+                            ((768, 384, 256), jnp.bfloat16),
+                            ((40, 24), np.float32)]:         # flat path
+        boxes_l, scores_l = [], []
+        for al in a_levels:
+            xy = r.rand(2, al, 2).astype(np.float32) * 300
+            wh = r.rand(2, al, 2).astype(np.float32) * 60 + 1
+            boxes_l.append(jnp.asarray(
+                np.concatenate([xy, xy + wh], -1), jnp.float32))
+            # **4 sharpens so some scores clear the threshold; bf16 cast
+            # makes ties common (exercises packed-key tie breaking)
+            scores_l.append(jnp.asarray(
+                r.rand(2, al, 6).astype(np.float32) ** 4, dtype))
+        out_list = np.asarray(matrix_nms(boxes_l, scores_l, cfg), np.float32)
+        out_cat = np.asarray(matrix_nms(jnp.concatenate(boxes_l, 1),
+                                        jnp.concatenate(scores_l, 1), cfg),
+                             np.float32)
+        np.testing.assert_array_equal(out_list, out_cat)
+
+
+def test_topk_pairs_packed_matches_lax():
+    """The packed u32 single-key sort == lax.top_k bitwise, including tie
+    order (lowest index first), on tie-heavy bf16 data."""
+    from ppyolo_tpu.ops.matrix_nms import _topk_pairs
+    r = np.random.RandomState(0)
+    # draw from a tiny value set so duplicates dominate; include zeros
+    vals = np.array([0.0, 0.125, 0.25, 0.25390625, 0.5, 0.8984375],
+                    np.float32)
+    x = jnp.asarray(vals[r.randint(0, len(vals), 3000)], jnp.bfloat16)
+    pv, pi = jax.jit(lambda v: _topk_pairs(v, 500, True))(x)
+    lv, li = jax.jit(lambda v: jax.lax.top_k(v, 500))(x)
+    np.testing.assert_array_equal(np.asarray(pv, np.float32),
+                                  np.asarray(lv, np.float32))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(li))
+
+
 def test_matrix_nms_gaussian_and_empty():
     cfg = dict(score_threshold=0.5, post_threshold=0.5, nms_top_k=8,
                keep_top_k=4, use_gaussian=True, gaussian_sigma=2.0,

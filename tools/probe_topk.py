@@ -63,6 +63,56 @@ def v3(scores):
     return sub[order], anchor_idx[order // C] * C + order % C
 
 
+def _pack_keys(sub_bf16, n):
+    """bf16 scores + index -> one u32 sort key.  Positive bf16 bit patterns
+    order like the values; low 16 bits hold (65535 - idx) so descending
+    key order breaks ties by LOWEST index first — exactly lax.top_k."""
+    bits = jax.lax.bitcast_convert_type(sub_bf16, jnp.uint16).astype(jnp.uint32)
+    idx = jax.lax.iota(jnp.uint32, n)
+    return (bits << 16) | (65535 - idx)
+
+
+def v4(scores):
+    """Packed single-key stage-2: top_k over int32 keys (1 operand)."""
+    anchor_max = jnp.max(jnp.where(scores > THR, scores, 0.0), axis=-1)
+    _, anchor_idx = lax.top_k(anchor_max, KANCH)
+    sub = _sub(scores, anchor_idx).reshape(KANCH * C)
+    keys = _pack_keys(sub, KANCH * C).astype(jnp.int32)  # high bit 0: safe
+    top = lax.top_k(keys, K)[0].astype(jnp.uint32)
+    vals = jax.lax.bitcast_convert_type(
+        (top >> 16).astype(jnp.uint16), jnp.bfloat16)
+    sub_i = (65535 - (top & 0xFFFF)).astype(jnp.int32)
+    return vals, anchor_idx[sub_i // C] * C + sub_i % C
+
+
+def v5(scores):
+    """Packed keys, full descending sort + slice (no top_k machinery)."""
+    anchor_max = jnp.max(jnp.where(scores > THR, scores, 0.0), axis=-1)
+    _, anchor_idx = lax.top_k(anchor_max, KANCH)
+    sub = _sub(scores, anchor_idx).reshape(KANCH * C)
+    keys = _pack_keys(sub, KANCH * C)
+    top = lax.sort(keys, is_stable=False)[::-1][:K]
+    vals = jax.lax.bitcast_convert_type(
+        (top >> 16).astype(jnp.uint16), jnp.bfloat16)
+    sub_i = (65535 - (top & 0xFFFF)).astype(jnp.int32)
+    return vals, anchor_idx[sub_i // C] * C + sub_i % C
+
+
+def v6(scores):
+    """v4 + packed stage-1 too (22743 < 2^15 so the index fits)."""
+    anchor_max = jnp.max(jnp.where(scores > THR, scores, 0.0), axis=-1)
+    k1 = _pack_keys(anchor_max, A).astype(jnp.int32)
+    t1 = lax.top_k(k1, KANCH)[0].astype(jnp.uint32)
+    anchor_idx = (65535 - (t1 & 0xFFFF)).astype(jnp.int32)
+    sub = _sub(scores, anchor_idx).reshape(KANCH * C)
+    keys = _pack_keys(sub, KANCH * C).astype(jnp.int32)
+    top = lax.top_k(keys, K)[0].astype(jnp.uint32)
+    vals = jax.lax.bitcast_convert_type(
+        (top >> 16).astype(jnp.uint16), jnp.bfloat16)
+    sub_i = (65535 - (top & 0xFFFF)).astype(jnp.int32)
+    return vals, anchor_idx[sub_i // C] * C + sub_i % C
+
+
 def make_runner(fn, n_scan):
     @jax.jit
     def run(key):
@@ -98,17 +148,20 @@ def agreement(key):
          ).astype(jnp.bfloat16)
     ref = jnp.sort(jax.vmap(v0)(s)[1])
     return [jnp.array_equal(jnp.sort(jax.vmap(f)(s)[1]), ref)
-            for f in (v1, v2, v3)]
+            for f in (v1, v2, v3, v4, v5, v6)]
 
 
 def main():
     ok = jax.device_get(agreement(jax.random.PRNGKey(7)))
     for (name, fn), agree in zip(
             [("v1-fused-mask", v1), ("v2-fp32-stage2", v2),
-             ("v3-sort-stage2", v3)], ok):
+             ("v3-sort-stage2", v3), ("v4-packed-key", v4),
+             ("v5-packed-sort", v5), ("v6-packed-both", v6)], ok):
         print(f"{name}: idx set == v0: {bool(agree)}", flush=True)
     for name, fn in [("v0-current", v0), ("v1-fused-mask", v1),
-                     ("v2-fp32-stage2", v2), ("v3-sort-stage2", v3)]:
+                     ("v2-fp32-stage2", v2), ("v3-sort-stage2", v3),
+                     ("v4-packed-key", v4), ("v5-packed-sort", v5),
+                     ("v6-packed-both", v6)]:
         t = timeit(fn)
         print(f"{name:15s}: {t*1e3:7.3f} ms/batch (incl on-device rng)",
               flush=True)
