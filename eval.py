@@ -77,8 +77,10 @@ def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32",
         assert cfg.eval_cfg["eval_batch_size"] % ndev == 0, (
             f"eval_batch_size {cfg.eval_cfg['eval_batch_size']} must divide "
             f"by --ndev {ndev}")
-        mesh = make_mesh(ndev)
-        logger.info("data-parallel eval over %d devices", ndev)
+        # per-process mesh: each process feeds host-local numpy batches of
+        # its own image shard, so the mesh must hold only addressable devices
+        mesh = make_mesh(ndev, local=True)
+        logger.info("data-parallel eval over %d local devices", ndev)
     det = Detector(model, params, cfg, target_size=cfg.eval_cfg["target_size"],
                    precision=precision, mesh=mesh)
     from ppyolo_tpu.eval import get_classes

@@ -93,7 +93,8 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
               result_dir: str = "eval_results",
               clsid2catid: Optional[Dict[int, int]] = None,
               draw_image: bool = False, draw_thresh: float = 0.15,
-              class_names: Optional[List[str]] = None):
+              class_names: Optional[List[str]] = None,
+              distributed: Optional[bool] = None):
     """Drive the detector over the val set and compute mAP
     (reference cocotools.py:195-277).  Returns box AP stats (or writes the
     test-dev submission json when type_=='test_dev').  With draw_image, the
@@ -105,13 +106,26 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
     files are the cross-host merge protocol — the reference's own
     shard-then-merge design, cocotools.py:159-191, extended across hosts);
     process 0 merges + evaluates, the rest return None.  Requires a shared
-    filesystem for result_dir."""
+    filesystem for result_dir.
+
+    ``distributed`` controls the shard/barrier protocol explicitly: it must
+    be True only when EVERY jax process calls coco_eval collectively (as
+    eval.py does).  A single process calling in from a multi-process runtime
+    (e.g. train.py's rank-0-gated periodic eval) must pass False, or it
+    would both evaluate only 1/nproc of the val set and deadlock on the
+    cross-host barrier.  Default None = ``jax.process_count() > 1``, the
+    collective convention."""
     import jax
 
     nproc, rank = jax.process_count(), jax.process_index()
-    if nproc > 1:
+    dist = nproc > 1 if distributed is None else distributed
+    if dist and nproc == 1:
+        dist = False  # single-process runtime: nothing to coordinate
+    if dist:
         from jax.experimental import multihost_utils
 
+    if not dist:
+        rank = 0  # sole evaluator regardless of process index
     clsid2catid = clsid2catid or COCO_CLSID2CATID
     bbox_dir = os.path.join(result_dir, "bbox")
     if rank == 0:
@@ -120,7 +134,7 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
         os.makedirs(bbox_dir, exist_ok=True)
         if draw_image:
             os.makedirs(os.path.join(result_dir, "images"), exist_ok=True)
-    if nproc > 1:
+    if dist:
         multihost_utils.sync_global_devices("coco_eval_setup")
         images = images[rank::nproc]  # disjoint per-host shards
 
@@ -178,7 +192,10 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
         preds = detector.predict_batch(pimages, sizes)
         for j, im_id in enumerate(ids):
             dets = detections_to_coco(preds[j], im_id, clsid2catid)
-            all_dets.extend(dets)
+            if not dist:
+                # distributed mode merges from the durable shard files on
+                # rank 0 instead — accumulating here would be wasted memory
+                all_dets.extend(dets)
             pending.append(writers.submit(write_one, dets, im_id, preds[j],
                                           raw_imgs[j], names[j]))
         done = i + eval_batch_size
@@ -191,12 +208,11 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
     cost = time.time() - start
     print(f"total time: {cost:.2f}s, speed: {n / max(cost, 1e-9):.1f} img/s")
 
-    if nproc > 1:
+    if dist:
         multihost_utils.sync_global_devices("coco_eval_shards")
         if rank != 0:
             return None
-        # other hosts' detections exist only as shard files: merge from disk
-        all_dets = []
+        # every host's detections exist only as shard files: merge from disk
         for fname in sorted(os.listdir(bbox_dir)):
             with open(os.path.join(bbox_dir, fname)) as f:
                 all_dets.extend(json.load(f))

@@ -128,21 +128,16 @@ class Detector:
         the number of convs pinned.  Call again after ``set_params``."""
         assert self._precision == "int8", "calibrate() is for int8 mode"
         from ..ops.module import flatten_tree, unflatten_tree
+        from .optimize import calibrate_act_scales
 
-        def fwd(params, images):
-            rec = {}
-            self.model.outputs(params, self._normalize(images),
-                               Ctx(train=False, record=rec))
-            return rec
-
-        rec = jax.device_get(jax.jit(fwd)(self.params, jnp.asarray(pimages)))
+        scales = calibrate_act_scales(self.model, self.params, [pimages],
+                                      preprocess=self._normalize)
         flat = flatten_tree(self.params)
         n = 0
-        for mod, amax in rec.items():
+        for mod, scale in scales.items():
             wkey = f"{mod}.conv.weight"
             if wkey in flat and flat[wkey].dtype == jnp.int8:
-                flat[f"{mod}.conv.act_scale"] = jnp.asarray(
-                    np.float32(max(float(amax), 1e-6) / 127.0))
+                flat[f"{mod}.conv.act_scale"] = jnp.asarray(np.float32(scale))
                 n += 1
         self.params = unflatten_tree(flat)
         return n

@@ -111,15 +111,20 @@ def quantize_params_int8(params: Dict[str, Any],
 
 
 def calibrate_act_scales(model, params: Dict[str, Any], images,
-                         ctx_kwargs=None) -> Dict[str, float]:
+                         ctx_kwargs=None, preprocess=None) -> Dict[str, float]:
     """Record per-conv input abs-max over a calibration batch set and turn
     it into static activation scales (amax/127) for quantize_params_int8.
 
     ``params`` should be the BN-folded float (fp32/bf16) params so the
     recorded ranges match what the int8 model will see; ``images`` is an
-    iterable of normalized [B,H,W,3] arrays."""
+    iterable of normalized [B,H,W,3] arrays (or raw arrays if ``preprocess``
+    is given — it runs inside the jitted record forward).  This is the ONE
+    implementation of the amax->scale rule; Detector.calibrate delegates
+    here."""
     def fwd(p, x):
         rec: Dict[str, Any] = {}
+        if preprocess is not None:
+            x = preprocess(x)
         model.outputs(p, x, Ctx(train=False, record=rec,
                                 **(ctx_kwargs or {})))
         return rec

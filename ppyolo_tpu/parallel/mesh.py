@@ -25,9 +25,23 @@ from jax import shard_map
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS,
+              *, local: bool = False) -> Mesh:
+    """Device mesh over the first ``n_devices`` devices.
+
+    ``local=True`` builds it from this process's addressable devices only —
+    required for per-process work fed with host-local numpy arrays (e.g.
+    data-parallel eval, where each process evaluates its own image shard):
+    a global mesh would include devices this process cannot address and the
+    jit would reject host-local inputs.  Training meshes stay global
+    (batches assemble via make_array_from_process_local_data)."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
+        if local and n_devices > len(devs):
+            raise ValueError(
+                f"--ndev {n_devices} exceeds the {len(devs)} devices "
+                f"addressable by process {jax.process_index()}; a "
+                "per-process mesh cannot span hosts")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -301,7 +301,23 @@ def test_run_training_orbax_backend_and_resume(tmp_path):
     assert ck.latest_step() == 2
     ck.close()
 
-    # second run resumes from the orbax step and continues to 4
-    cfg.train_cfg = dict(cfg.train_cfg, max_iters=4)
-    state2 = run_training(cfg, ndev=1, weights_dir=wdir)
+    # second run resumes from the orbax step and continues to 4; the data
+    # pipeline must also restart from the restored step (r3 review fix:
+    # start_iter followed only the model_path filename, so an orbax resume
+    # replayed the epoch-0 shuffle/shape schedule)
+    import ppyolo_tpu.data as data_pkg
+    seen_start = []
+    real_tb = data_pkg.train_batches
+
+    def spy_tb(records, cfg_, **kw):
+        seen_start.append(kw.get("start_iter"))
+        return real_tb(records, cfg_, **kw)
+
+    data_pkg.train_batches = spy_tb
+    try:
+        cfg.train_cfg = dict(cfg.train_cfg, max_iters=4)
+        state2 = run_training(cfg, ndev=1, weights_dir=wdir)
+    finally:
+        data_pkg.train_batches = real_tb
     assert int(np.asarray(state2.step)) == 4
+    assert seen_start == [2], seen_start

@@ -70,6 +70,49 @@ print(f"[worker {pid}] done", flush=True)
 """
 
 
+_GATED_EVAL_WORKER = """
+import os, sys, time
+pid = int(sys.argv[1]); port = sys.argv[2]
+anno_path, img_dir, rdir, repo = sys.argv[3], sys.argv[4], sys.argv[5], sys.argv[6]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+sys.path.insert(0, repo)
+done_flag = os.path.join(os.path.dirname(rdir), "rank0_done")
+if pid == 1:
+    # rank 1 never enters coco_eval — exactly train.py's gated periodic
+    # eval.  It must not be needed for rank 0 to finish (no barrier).
+    while not os.path.exists(done_flag):
+        time.sleep(0.2)
+    print("[worker 1] done", flush=True)
+    sys.exit(0)
+from tests.test_integration import ItCfg
+import json
+import numpy as np
+from configs import get_config  # noqa: F401  (import side effects none)
+cfg = ItCfg(anno_path, img_dir, os.path.dirname(rdir))
+from ppyolo_tpu.models import PPYOLO
+from ppyolo_tpu.eval import Detector, coco_eval
+from ppyolo_tpu.data import CocoJson
+model = PPYOLO.from_config(cfg)
+params = model.init(jax.random.PRNGKey(0))
+det = Detector(model, params, cfg, target_size=96)
+val = CocoJson(anno_path)
+images = [im for im in val.dataset["images"] if val.img_anns.get(im["id"])]
+stats = coco_eval(det, images, img_dir, anno_path, 2, result_dir=rdir,
+                  distributed=False)
+assert stats is not None
+# distributed=False must evaluate the FULL set, not a 1/nproc shard
+shards = os.listdir(os.path.join(rdir, "bbox"))
+assert len(shards) == len(images), (len(shards), len(images))
+open(done_flag, "w").close()
+print(f"GATED_EVAL_OK {len(shards)}", flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -156,3 +199,36 @@ def test_two_process_eval_smoke(tmp_path):
             from_shards.extend(json.load(f))
     key = lambda d: (d["image_id"], d["category_id"], tuple(d["bbox"]))
     assert sorted(map(key, merged)) == sorted(map(key, from_shards))
+
+
+def test_rank0_gated_eval_no_deadlock(tmp_path):
+    """Regression (r3 review): train.py's periodic eval is gated to process
+    0, so coco_eval(distributed=False) from a single rank of a multi-process
+    runtime must evaluate the FULL image set and return without touching the
+    cross-host barrier (keyed on jax.process_count() before the fix ->
+    1/nproc coverage + deadlock)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=6)
+    worker_path = tmp_path / "gated_eval_worker.py"
+    worker_path.write_text(_GATED_EVAL_WORKER)
+    rdir = str(tmp_path / "eval_results")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker_path), str(pid), str(port),
+         anno_path, img_dir, rdir, repo],
+        cwd=repo, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)  # deadlock -> timeout
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+    assert "GATED_EVAL_OK 6" in outs[0]

@@ -79,3 +79,19 @@ def test_predict_pipelined_matches_batched():
     ref = det.predict_batch(imgs[:2], sizes[:2])
     out = det.predict_pipelined(imgs, sizes, group=2)
     np.testing.assert_allclose(out[:2], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_make_mesh_local():
+    """local=True builds from addressable devices (== global in a single
+    process) and rejects ndev beyond what this process can address (r3
+    review: eval --ndev over a multi-host runtime must not jit over
+    non-addressable devices)."""
+    import jax
+    import pytest
+
+    mesh = make_mesh(4, local=True)
+    assert mesh.devices.size == 4
+    assert all(d.process_index == jax.process_index()
+               for d in mesh.devices.flat)
+    with pytest.raises(ValueError, match="addressable"):
+        make_mesh(len(jax.local_devices()) + 1, local=True)

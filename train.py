@@ -105,6 +105,26 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
         logger.info("resumed full train state from %s (step %d)",
                     resume_state, int(np.asarray(state.step)))
 
+    os.makedirs(weights_dir, exist_ok=True)
+    # optional orbax backend (cfg.train_cfg['ckpt_backend']='orbax'):
+    # cross-host-coordinated atomic commits for multi-host runs; every
+    # process participates in save/restore (checkpoint/orbax_io.py)
+    orbax_ckpt = None
+    if tc.get("ckpt_backend", "npz") == "orbax":
+        from ppyolo_tpu.checkpoint.orbax_io import OrbaxCheckpointer
+
+        orbax_ckpt = OrbaxCheckpointer(os.path.join(weights_dir, "orbax"),
+                                       keep=10)
+        if orbax_ckpt.latest_step() is not None:
+            state = orbax_ckpt.restore(state)
+            logger.info("orbax resume from step %d",
+                        int(np.asarray(state.step)))
+
+    # every resume path must also restart the data pipeline (shuffle order,
+    # multi-scale shape schedule) and LR from the restored step — resuming
+    # state.step alone would replay the epoch-0 data sequence
+    start_iter = max(start_iter, int(np.asarray(state.step)))
+
     ndev = ndev or len(jax.devices())
     use_mesh = ndev > 1
     compute_dtype = (jnp.bfloat16 if tc.get("precision") == "bf16"
@@ -152,22 +172,8 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                       shard_id=host_id),
         max_batch=max(tc.get("max_batch", 3), scan_steps))
 
-    os.makedirs(weights_dir, exist_ok=True)
     metrics_path = os.path.join(weights_dir, "metrics.jsonl")
     ckpt = AsyncCheckpointer()
-    # optional orbax backend (cfg.train_cfg['ckpt_backend']='orbax'):
-    # cross-host-coordinated atomic commits for multi-host runs; every
-    # process participates in save/restore (checkpoint/orbax_io.py)
-    orbax_ckpt = None
-    if tc.get("ckpt_backend", "npz") == "orbax":
-        from ppyolo_tpu.checkpoint.orbax_io import OrbaxCheckpointer
-
-        orbax_ckpt = OrbaxCheckpointer(os.path.join(weights_dir, "orbax"),
-                                       keep=10)
-        if orbax_ckpt.latest_step() is not None:
-            state = orbax_ckpt.restore(state)
-            logger.info("orbax resume from step %d",
-                        int(np.asarray(state.step)))
     best_ap = -1.0
     eval_det = None  # reused across periodic evals (set_params avoids retrace)
     time_q = deque(maxlen=20)
@@ -298,8 +304,11 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
             val = CocoJson(cfg.val_path)
             images = [im for im in val.dataset["images"]
                       if val.img_anns.get(im["id"])]
+            # this call is gated to process 0, so the collective multi-host
+            # shard/barrier protocol must be off (it would deadlock)
             stats = coco_eval(det, images, cfg.val_pre_path, cfg.val_path,
-                              cfg.eval_cfg["eval_batch_size"])
+                              cfg.eval_cfg["eval_batch_size"],
+                              distributed=False)
             ap = float(stats[0]) if stats is not None else -1
             logger.info("box ap: %.4f (best %.4f)", ap, best_ap)
             with open(metrics_path, "a") as mf:
