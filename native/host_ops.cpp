@@ -85,8 +85,11 @@ void gt2yolo_scatter(const float* gt_bbox,   // [B, M, 4] normalized xywh
                      const float* gt_score,  // [B, M]
                      const int32_t* best,    // [B, M] best global anchor id
                      int64_t B, int64_t M, const int32_t* mask, int64_t an,
-                     const float* anchors,   // [A, 2] pixel (w, h)
-                     int64_t grid_h, int64_t grid_w, float img_w, float img_h,
+                     const float* tw_tab,    // [B, M] log(gw*w/anchor_w),
+                     const float* th_tab,    // [B, M] precomputed in numpy
+                                             // (libm logf differs from
+                                             // numpy's f32 log by 1 ulp)
+                     int64_t grid_h, int64_t grid_w,
                      int64_t num_ch,         // 6 + num_classes
                      float* target) {        // [B, gh, gw, an, num_ch]
   const int64_t stride_b = grid_h * grid_w * an * num_ch;
@@ -106,13 +109,12 @@ void gt2yolo_scatter(const float* gt_bbox,   // [B, M, 4] normalized xywh
       int64_t gj = (int64_t)(gy * grid_h);
       gi = std::max<int64_t>(0, std::min<int64_t>(gi, grid_w - 1));
       gj = std::max<int64_t>(0, std::min<int64_t>(gj, grid_h - 1));
-      const int32_t a = mask[slot];
       float* cell = target + b * stride_b +
                     ((gj * grid_w + gi) * an + slot) * num_ch;
       cell[0] = gx * grid_w - gi;
       cell[1] = gy * grid_h - gj;
-      cell[2] = std::log(gw * img_w / anchors[a * 2 + 0]);
-      cell[3] = std::log(gh * img_h / anchors[a * 2 + 1]);
+      cell[2] = tw_tab[b * M + m];
+      cell[3] = th_tab[b * M + m];
       cell[4] = 2.0f - gw * gh;
       cell[5] = sc;
       const int32_t cls = gt_cls[b * M + m];

@@ -45,7 +45,17 @@ def _gt2yolo_native(gt_bbox, gt_class, gt_score, best_idx, valid, anchors,
     cls = np.ascontiguousarray(gt_class, np.int32)
     score = np.ascontiguousarray(np.where(valid, gt_score, 0.0), np.float32)
     best = np.ascontiguousarray(best_idx, np.int32)
-    anc = np.ascontiguousarray(anchors, np.float32)
+    anc = np.asarray(anchors, np.float32)
+    # tw/th precomputed HERE with numpy's f32 log so the native path is
+    # bitwise-identical to the numpy builder and the reference (the C++
+    # libm logf rounds the last ulp differently); invalid rows are never
+    # written by the scatter, so guard them out of the log
+    bw = np.where(valid, gt_bbox[..., 2], 1.0).astype(np.float32)
+    bh = np.where(valid, gt_bbox[..., 3], 1.0).astype(np.float32)
+    aw = anc[best_idx, 0]
+    ah = anc[best_idx, 1]
+    tw = np.ascontiguousarray(np.log(bw * w / aw), np.float32)
+    th = np.ascontiguousarray(np.log(bh * h / ah), np.float32)
     out = []
     for mask, ds in zip(anchor_masks, downsample_ratios):
         gh, gw = int(h // ds), int(w // ds)
@@ -56,8 +66,7 @@ def _gt2yolo_native(gt_bbox, gt_class, gt_score, best_idx, valid, anchors,
             _ptr(bbox, ctypes.c_float), _ptr(cls, ctypes.c_int32),
             _ptr(score, ctypes.c_float), _ptr(best, ctypes.c_int32),
             b, m, _ptr(mask_arr, ctypes.c_int32), an,
-            _ptr(anc, ctypes.c_float), gh, gw,
-            ctypes.c_float(float(w)), ctypes.c_float(float(h)),
+            _ptr(tw, ctypes.c_float), _ptr(th, ctypes.c_float), gh, gw,
             6 + num_classes, _ptr(target, ctypes.c_float))
         out.append(target)
     return out
@@ -133,19 +142,20 @@ def gt2yolo_targets(
             # transform.py:1395), so colliding gts leave a multi-hot class.
             target[bi, gjj, gii, sl, 6 + gt_class[sel].astype(np.int64)] = 1.0
 
-        # secondary assignment first so the best-anchor write wins collisions
-        # in the same order as the reference loop (best written last per gt
-        # is not the reference order — the reference writes best first then
-        # extras; extras never target the best slot, so order only matters
-        # across different gts, where later gts overwrite earlier, matching
-        # numpy fancy-assignment last-wins)
-        if iou_thresh < 1.0:
-            for slot, a in enumerate(mask):
-                iou_a = _wh_iou(gw, gh_, an_hw[a, 0], an_hw[a, 1])
-                sel = valid & (best_idx != a) & (iou_a > iou_thresh)
-                write(sel, slot, a)
+        # The reference loop is purely CHRONOLOGICAL: gt b+1's write (best OR
+        # extra) overwrites gt b's at a colliding (cell, slot) — a later gt's
+        # multi-anchor extra beats an earlier gt's best-anchor write
+        # (transform.py:1383-1419; proven by the directed collision case in
+        # tests/test_reference_transform_parity.py).  One merged fancy write
+        # per slot reproduces it: numpy fancy assignment is last-occurrence-
+        # wins and sel flattens in ascending gt order.  Within one gt, best
+        # and extra target different slots, so merging the two categories
+        # cannot conflict.
         for slot, a in enumerate(mask):
             sel = valid & (best_idx == a)
+            if iou_thresh < 1.0:
+                iou_a = _wh_iou(gw, gh_, an_hw[a, 0], an_hw[a, 1])
+                sel = sel | (valid & (best_idx != a) & (iou_a > iou_thresh))
             write(sel, slot, a)
         out.append(target)
     return out
@@ -163,9 +173,11 @@ def gt2yolo_targets_device(gt_bbox, gt_class, gt_score, im_hw, anchors,
     by an argmax over the 50 match priorities (no scatter — TPU-friendly),
     and the multi-hot class plane is one [cells x M] @ [M x C] matmul.
 
-    Semantics match ``gt2yolo_targets`` exactly (oracle-tested):
-      * best-anchor writes override same-level extra (iou_thresh<1) writes,
-      * within a category the later gt index wins a cell/slot collision,
+    Semantics match ``gt2yolo_targets`` (and the reference loop) exactly:
+      * collisions are CHRONOLOGICAL — the later gt index wins a cell/slot
+        collision regardless of best-anchor vs multi-anchor-extra category
+        (reference transform.py:1383-1419 write order; cross-checked in
+        tests/test_reference_transform_parity.py),
       * colliding gts leave a multi-hot class plane (bits never clear).
     """
     import jax
@@ -210,15 +222,17 @@ def gt2yolo_targets_device(gt_bbox, gt_class, gt_score, im_hw, anchors,
         else:
             assigned = is_best
 
-        # priority per (gt, slot): 0 = unassigned; best-anchor category above
-        # extras; later gt index wins within a category.  bf16 halves the HBM
-        # traffic of the [B, cells, an, M] broadcast below but is only exact
-        # for integers <= 256 — beyond that adjacent priorities would collapse
-        # and colliding gts would BOTH win (their field rows would sum), so
-        # fall back to fp32 when the padded gt count makes 2M+1 exceed it.
-        pdt = jnp.bfloat16 if 2 * m + 1 <= 256 else jnp.float32
-        pri_gt = (1 + jnp.arange(m)[None, :, None]
-                  + m * is_best.astype(jnp.int32))                    # [B,M,an]
+        # priority per (gt, slot): 0 = unassigned, else 1 + gt index — the
+        # later gt wins a collision outright (chronological reference
+        # parity; best and extra writes of ONE gt target different slots so
+        # no intra-gt tie exists).  bf16 halves the HBM traffic of the
+        # [B, cells, an, M] broadcast below but is only exact for integers
+        # <= 256 — beyond that adjacent priorities would collapse and
+        # colliding gts would BOTH win (their field rows would sum), so
+        # fall back to fp32 when the padded gt count exceeds it.
+        pdt = jnp.bfloat16 if m + 1 <= 256 else jnp.float32
+        pri_gt = jnp.broadcast_to(
+            1 + jnp.arange(m)[None, :, None], is_best.shape)          # [B,M,an]
         pri_gt = jnp.where(assigned, pri_gt, 0).astype(pdt)
 
         # match via one flat-cell-key equality: pri[b,yx,s,m] > 0 iff gt m

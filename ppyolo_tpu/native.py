@@ -60,8 +60,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.match_greedy.argtypes = [f64p, i64, i64, u8p, u8p, f64p, i64,
                                      i64p, i64p]
         lib.gt2yolo_scatter.argtypes = [
-            f32p, i32p, f32p, i32p, i64, i64, i32p, i64, f32p, i64, i64,
-            ctypes.c_float, ctypes.c_float, i64, f32p]
+            f32p, i32p, f32p, i32p, i64, i64, i32p, i64, f32p, f32p,
+            i64, i64, i64, f32p]
         _lib = lib
         return _lib
 

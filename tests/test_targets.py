@@ -197,9 +197,11 @@ def test_device_targets_match_numpy_iou_thresh():
 
 
 def test_device_targets_many_boxes_collision():
-    """m=150 padded boxes: priorities exceed bf16's exact-integer range, so
-    the builder must fall back to fp32 — colliding HIGH-index gts (136/137)
-    previously both 'won' and summed their field rows (code-review find)."""
+    """m=300 padded boxes: priorities exceed bf16's exact-integer range, so
+    the builder must fall back to fp32 — colliding HIGH-index gts would
+    otherwise both 'win' and sum their field rows (code-review find; was
+    m=150 when priorities spanned 2m+1, m+1 since the chronological-order
+    parity fix)."""
     import jax.numpy as jnp
     from ppyolo_tpu.data.targets import gt2yolo_targets_device
     from configs import PPYOLO_r18vd_Config
@@ -207,14 +209,15 @@ def test_device_targets_many_boxes_collision():
     cfg = PPYOLO_r18vd_Config()
     tc = cfg.gt2YoloTarget
     rng = np.random.RandomState(3)
-    b, m = 2, 150
+    b, m = 2, 300
     gt_bbox = np.zeros((b, m, 4), np.float32)
     gt_class = rng.randint(0, 6, (b, m))
     gt_score = np.zeros((b, m), np.float32)
-    # two colliding boxes at indices 136/137 (same center, near-same wh)
-    for i in (136, 137):
+    # two colliding boxes at high indices (same center, near-same wh) —
+    # adjacent bf16 integers above 256 would collapse their priorities
+    for i in (286, 287):
         gt_bbox[:, i, 0:2] = [0.5, 0.5]
-        gt_bbox[:, i, 2:4] = [0.2, 0.25] if i == 136 else [0.204, 0.255]
+        gt_bbox[:, i, 2:4] = [0.2, 0.25] if i == 286 else [0.204, 0.255]
         gt_score[:, i] = 1.0
     ref = gt2yolo_targets(gt_bbox, gt_class, gt_score, (96, 96),
                           tc["anchors"], tc["anchor_masks"],
