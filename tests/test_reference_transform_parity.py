@@ -291,3 +291,106 @@ def test_gt2yolo_chronological_collision(ref_tf):
                                  MASKS, DOWNS, 6, iou_thresh=0.213)
     np.testing.assert_allclose(np.asarray(dev[0])[0].transpose(2, 3, 0, 1),
                                r0, rtol=1e-5, atol=1e-5)
+
+
+class _FakeCoco:
+    """pycocotools-COCO shim over CocoJson, enough for the reference's
+    data_clean (tools/data_process.py:19-86)."""
+
+    def __init__(self, cj):
+        self.cj = cj
+
+    def loadImgs(self, img_id):
+        return [self.cj.imgs[img_id]]
+
+    def getAnnIds(self, imgIds, iscrowd=None):
+        anns = self.cj.load_anns_of(imgIds, iscrowd=iscrowd)
+        return [a["id"] for a in anns]
+
+    def loadAnns(self, ids):
+        by_id = {a["id"]: a for anns in self.cj.img_anns.values()
+                 for a in anns}
+        return [dict(by_id[i]) for i in ids]
+
+
+def _coco_json(tmp_path):
+    imgs = [{"id": 1, "file_name": "a.jpg", "width": 100, "height": 80},
+            {"id": 2, "file_name": "b.jpg", "width": 64, "height": 64},
+            {"id": 3, "file_name": "c.jpg", "width": 50, "height": 50}]
+    annos = [
+        # normal box
+        {"id": 1, "image_id": 1, "category_id": 5,
+         "bbox": [10, 10, 30, 20], "area": 600, "iscrowd": 0},
+        # out-of-bounds box -> clipped
+        {"id": 2, "image_id": 1, "category_id": 7,
+         "bbox": [-5, -3, 200, 200], "area": 4000, "iscrowd": 0},
+        # zero-area -> dropped
+        {"id": 3, "image_id": 2, "category_id": 5,
+         "bbox": [5, 5, 10, 10], "area": 0, "iscrowd": 0},
+        # crowd -> excluded by the iscrowd=False ann query
+        {"id": 4, "image_id": 2, "category_id": 7,
+         "bbox": [1, 1, 20, 20], "area": 400, "iscrowd": 1},
+        # degenerate width -> clean_bbox still valid (x2 == x1)
+        {"id": 5, "image_id": 3, "category_id": 5,
+         "bbox": [49.5, 10, 0.2, 5], "area": 1, "iscrowd": 0},
+    ]
+    import json as _json
+    p = tmp_path / "anno.json"
+    p.write_text(_json.dumps({
+        "images": imgs, "annotations": annos,
+        "categories": [{"id": 5, "name": "x"}, {"id": 7, "name": "y"}]}))
+    return str(p)
+
+
+def test_data_clean_vs_reference(ref_tf, tmp_path):
+    """Record cleaning (clip + validity filter) decides which gts train —
+    prove it against the reference's own data_clean over a fake
+    pycocotools shim (edge boxes: out-of-bounds, zero-area, crowd,
+    degenerate width)."""
+    import tools.data_process as ref_dp  # resolves into /root/reference
+    from ppyolo_tpu.data import CocoJson, data_clean, category_maps
+
+    cj = CocoJson(_coco_json(tmp_path))
+    catid2clsid, _, _ = category_maps(cj)
+    ref_recs = ref_dp.data_clean(_FakeCoco(cj), cj.get_img_ids(),
+                                 catid2clsid, "imgs")
+    our_recs = data_clean(cj, cj.get_img_ids(), catid2clsid, "imgs")
+    assert len(our_recs) == len(ref_recs)
+    for o, r in zip(our_recs, ref_recs):
+        for k in ("im_file", "h", "w", "anno_id"):
+            assert o[k] == r[k], k
+        for k in ("im_id", "is_crowd", "gt_class", "gt_bbox", "gt_score"):
+            np.testing.assert_array_equal(o[k], r[k], err_msg=k)
+
+
+def test_get_samples_vs_reference(ref_tf, tmp_path):
+    """Batch slice + mixup/cutmix partner indices (data_process.py:88-113),
+    with identical RNG streams."""
+    import tools.data_process as ref_dp
+    from ppyolo_tpu.data import CocoJson, data_clean, category_maps
+    from ppyolo_tpu.data.coco import get_samples
+
+    cj = CocoJson(_coco_json(tmp_path))
+    catid2clsid, _, _ = category_maps(cj)
+    recs = data_clean(cj, cj.get_img_ids(), catid2clsid, "imgs")
+    idxs = [2, 0, 1]
+    for seed, iter_id in [(0, 1), (1, 5), (2, 9)]:
+        np.random.seed(seed)
+        ref_s = ref_dp.get_samples(recs, idxs, step=0, batch_size=2,
+                                   iter_id=iter_id, with_mixup=True,
+                                   with_cutmix=True, mixup_steps=6,
+                                   cutmix_steps=3)
+        our_s = get_samples(recs, idxs, 0, 2, iter_id, True, True, 6, 3,
+                            np.random.RandomState(seed))
+        assert len(our_s) == len(ref_s)
+        for o, r in zip(our_s, ref_s):
+            assert o["curr_iter"] == r["curr_iter"]
+            assert ("mixup" in o) == ("mixup" in r)
+            assert ("cutmix" in o) == ("cutmix" in r)
+            if "mixup" in r:
+                np.testing.assert_array_equal(o["mixup"]["im_id"],
+                                              r["mixup"]["im_id"])
+            if "cutmix" in r:
+                np.testing.assert_array_equal(o["cutmix"]["im_id"],
+                                              r["cutmix"]["im_id"])
+            np.testing.assert_array_equal(o["im_id"], r["im_id"])
