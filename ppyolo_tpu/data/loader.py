@@ -108,11 +108,6 @@ def train_batches(records: List[dict], cfg, *, seed: int = 0,
     """
     if num_shards > 1:
         records = records[shard_id::num_shards]
-    # augmentation randomness is per-host; the SHAPE stream is a dedicated
-    # RNG consumed exactly once per batch so all hosts stay in shape
-    # lock-step regardless of how many draws the augmentations consume
-    rng = np.random.RandomState(seed + 7919 * shard_id)
-    shape_rng = np.random.RandomState(seed)
     tc = cfg.train_cfg
     batch_size = tc["batch_size"]
     n = len(records)
@@ -124,40 +119,58 @@ def train_batches(records: List[dict], cfg, *, seed: int = 0,
     sample_ops = build_sample_transforms(cfg)
     # per-sample worker threads (reference train.py:101-110, num_threads=5);
     # cv2 releases the GIL so threads parallelize imdecode/resize/augment.
-    # Each worker gets its own RNG stream (derived, deterministic).
     n_threads = int(tc.get("num_threads", 0) or 0)
     pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
-    worker_rngs = [np.random.RandomState(seed + 7919 * shard_id + 101 * (i + 1))
-                   for i in range(batch_size)]
+
+    # ALL randomness is keyed by (seed, shard, epoch/iter) rather than drawn
+    # from continuous streams, so the stream is FAST-FORWARDABLE: starting
+    # at start_iter reproduces exactly the batches an uninterrupted run
+    # would see there (resume == uninterrupted, proven bitwise by
+    # tests/test_integration.py::test_resume_is_equivalent_to_uninterrupted_run
+    # — a guarantee the reference lacks: its shuffles restart on resume).
+    # The SHAPE key deliberately excludes the shard term so all hosts stay
+    # in shape lock-step regardless of how many draws augmentations consume.
+    M31 = 2 ** 31 - 1
+
+    def epoch_rng(epoch):
+        return np.random.RandomState(
+            (seed + 7919 * shard_id + 104729 * epoch) % M31)
+
+    def iter_rng(it, slot=0):
+        return np.random.RandomState(
+            (seed + 7919 * shard_id + 101 * slot + 15485863 * it) % M31)
+
+    def group_shape(it):
+        if fixed_shape is not None:
+            return fixed_shape
+        gidx = (it - 1) // max(shape_group, 1)
+        srng = np.random.RandomState((seed + 6151 * gidx) % M31)
+        return int(srng.choice(cfg.randomShape["sizes"]))
 
     iter_id = start_iter
-    indexes = np.arange(n)
-    group_shape: Optional[int] = None
+    epoch = start_iter // steps_per_epoch
+    step0 = start_iter % steps_per_epoch
     while True:
-        rng.shuffle(indexes)
-        for step in range(steps_per_epoch):
+        indexes = np.arange(n)
+        epoch_rng(epoch).shuffle(indexes)
+        for step in range(step0, steps_per_epoch):
             iter_id += 1
-            if fixed_shape is not None:
-                shape = fixed_shape
-            elif shape_group > 1:
-                drawn = int(shape_rng.choice(cfg.randomShape["sizes"]))
-                if group_shape is None or (iter_id - 1) % shape_group == 0:
-                    group_shape = drawn
-                shape = group_shape
-            else:
-                shape = int(shape_rng.choice(cfg.randomShape["sizes"]))
+            shape = group_shape(iter_id)
+            it_rng = iter_rng(iter_id)
             samples = get_samples(records, indexes, step, batch_size, iter_id,
                                   with_mixup, with_cutmix, mixup_steps,
-                                  cutmix_steps, rng)
+                                  cutmix_steps, it_rng)
             if pool is not None:
                 samples = list(pool.map(
                     lambda iv: apply_sample_transforms(
-                        iv[1], sample_ops, worker_rngs[iv[0]]),
+                        iv[1], sample_ops, iter_rng(iter_id, iv[0] + 1)),
                     enumerate(samples)))
             else:
-                samples = [apply_sample_transforms(s, sample_ops, rng)
+                samples = [apply_sample_transforms(s, sample_ops, it_rng)
                            for s in samples]
-            yield assemble_batch(samples, cfg, rng, fixed_shape=shape)
+            yield assemble_batch(samples, cfg, it_rng, fixed_shape=shape)
+        epoch += 1
+        step0 = 0
 
 
 class DevicePrefetcher:

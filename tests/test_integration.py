@@ -121,3 +121,50 @@ def test_training_metrics_jsonl(tmp_path):
     row = lines[0]
     assert {"iter", "time", "total_loss", "imgs_per_sec"} <= set(row)
     assert np.isfinite(row["total_loss"])
+
+
+def test_resume_is_equivalent_to_uninterrupted_run(tmp_path):
+    """Crash+resume == uninterrupted run, BITWISE: full-state resume
+    (params + momentum + EMA + step) must also restart the data pipeline
+    (shuffle order, shape schedule) and LR from the restored step (r3
+    review fix: start_iter previously followed only the model_path
+    filename).  drop_block off -> the train step is rng-free, so 4 straight
+    iters and 2+2-with-resume must produce identical parameters."""
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=6)
+    from train import run_training
+    from ppyolo_tpu.ops.module import flatten_tree
+
+    cfg_a = ItCfg(anno_path, img_dir, str(tmp_path))
+    cfg_a.train_cfg = dict(cfg_a.train_cfg, max_iters=4, save_iter=10**9,
+                           eval_iter=10**9)
+    state_a = run_training(cfg_a, ndev=1,
+                           weights_dir=str(tmp_path / "wa"))
+
+    cfg_b1 = ItCfg(anno_path, img_dir, str(tmp_path))
+    cfg_b1.train_cfg = dict(cfg_b1.train_cfg, max_iters=2, save_iter=2,
+                            eval_iter=10**9)
+    wb = str(tmp_path / "wb")
+    run_training(cfg_b1, ndev=1, weights_dir=wb)
+
+    cfg_b2 = ItCfg(anno_path, img_dir, str(tmp_path))
+    cfg_b2.train_cfg = dict(cfg_b2.train_cfg, max_iters=4, save_iter=10**9,
+                            eval_iter=10**9,
+                            resume_state=os.path.join(wb, "last_state.npz"))
+    state_b = run_training(cfg_b2, ndev=1, weights_dir=wb)
+
+    assert int(np.asarray(state_b.step)) == 4
+    fa, fb = flatten_tree(state_a.params), flatten_tree(state_b.params)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                      err_msg=k)
+    # optimizer momentum and EMA shadow must match too
+    for k in state_a.velocity:
+        np.testing.assert_array_equal(np.asarray(state_a.velocity[k]),
+                                      np.asarray(state_b.velocity[k]),
+                                      err_msg=f"velocity {k}")
+    if state_a.ema is not None:
+        for k in state_a.ema:
+            np.testing.assert_array_equal(np.asarray(state_a.ema[k]),
+                                          np.asarray(state_b.ema[k]),
+                                          err_msg=f"ema {k}")
