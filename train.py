@@ -106,24 +106,6 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                     resume_state, int(np.asarray(state.step)))
 
     os.makedirs(weights_dir, exist_ok=True)
-    # optional orbax backend (cfg.train_cfg['ckpt_backend']='orbax'):
-    # cross-host-coordinated atomic commits for multi-host runs; every
-    # process participates in save/restore (checkpoint/orbax_io.py)
-    orbax_ckpt = None
-    if tc.get("ckpt_backend", "npz") == "orbax":
-        from ppyolo_tpu.checkpoint.orbax_io import OrbaxCheckpointer
-
-        orbax_ckpt = OrbaxCheckpointer(os.path.join(weights_dir, "orbax"),
-                                       keep=10)
-        if orbax_ckpt.latest_step() is not None:
-            state = orbax_ckpt.restore(state)
-            logger.info("orbax resume from step %d",
-                        int(np.asarray(state.step)))
-
-    # every resume path must also restart the data pipeline (shuffle order,
-    # multi-scale shape schedule) and LR from the restored step — resuming
-    # state.step alone would replay the epoch-0 data sequence
-    start_iter = max(start_iter, int(np.asarray(state.step)))
 
     ndev = ndev or len(jax.devices())
     use_mesh = ndev > 1
@@ -149,6 +131,29 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
             multi_fn = shard_multi_train_step(multi, mesh, donate=True)
         else:
             multi_fn = jax.jit(multi, donate_argnums=(0,))
+
+    # optional orbax backend (cfg.train_cfg['ckpt_backend']='orbax'):
+    # cross-host-coordinated atomic commits for multi-host runs; every
+    # process participates in save/restore (checkpoint/orbax_io.py).
+    # Restore AFTER put_replicated so the target tree carries the mesh
+    # sharding — a host-local target would need cross-host device
+    # transfers to satisfy (proven by tests/test_multihost.py's 2-process
+    # orbax test).
+    orbax_ckpt = None
+    if tc.get("ckpt_backend", "npz") == "orbax":
+        from ppyolo_tpu.checkpoint.orbax_io import OrbaxCheckpointer
+
+        orbax_ckpt = OrbaxCheckpointer(os.path.join(weights_dir, "orbax"),
+                                       keep=10)
+        if orbax_ckpt.latest_step() is not None:
+            state = orbax_ckpt.restore(state)
+            logger.info("orbax resume from step %d",
+                        int(np.asarray(state.step)))
+
+    # every resume path must also restart the data pipeline (shuffle order,
+    # multi-scale shape schedule) and LR from the restored step — resuming
+    # state.step alone would replay the epoch-0 data sequence
+    start_iter = max(start_iter, int(np.asarray(state.step)))
 
     # multi-host: each process reads a disjoint record shard and contributes
     # its local slice of the global batch; checkpoints/eval run on process 0
