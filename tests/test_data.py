@@ -207,3 +207,79 @@ def test_multihost_shape_lockstep(tmp_path):
     shapes1 = [next(it1)["shape"] for _ in range(6)]
     assert shapes0 == shapes1
     assert len(set(shapes0)) > 1  # actually random
+
+
+def test_train_batches_fast_forward_equals_skip(tmp_path):
+    """The keyed-RNG loader (deterministic-resume rework): starting at
+    start_iter=k must reproduce EXACTLY the batches an uninterrupted
+    stream yields from position k — images, gts, shapes — including
+    across an epoch boundary."""
+    import cv2
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 6
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=6)
+    cfg.train_cfg = dict(cfg.train_cfg, batch_size=2, device_targets=False)
+    recs = []
+    for i in range(6):   # steps_per_epoch = 3 -> k=4 crosses an epoch
+        img = RNG.randint(0, 255, (60, 60, 3)).astype(np.uint8)
+        f = tmp_path / f"ff{i}.jpg"
+        cv2.imwrite(str(f), img)
+        recs.append({
+            "im_file": str(f), "im_id": np.array([i]), "h": 60.0, "w": 60.0,
+            "gt_bbox": np.array([[5, 5, 40, 40]], np.float32),
+            "gt_class": np.array([[i % 6]], np.int32),
+            "gt_score": np.ones((1, 1), np.float32),
+            "is_crowd": np.zeros((1, 1), np.int32),
+        })
+    from ppyolo_tpu.data import train_batches
+
+    k, take = 4, 4
+    full = train_batches(recs, cfg, seed=3)
+    for _ in range(k):
+        next(full)
+    a = [next(full) for _ in range(take)]
+    resumed = train_batches(recs, cfg, seed=3, start_iter=k)
+    b = [next(resumed) for _ in range(take)]
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert x["shape"] == y["shape"], i
+        np.testing.assert_array_equal(x["image"], y["image"], err_msg=str(i))
+        np.testing.assert_array_equal(x["gt_bbox"], y["gt_bbox"])
+        np.testing.assert_array_equal(x["gt_class"], y["gt_class"])
+        np.testing.assert_array_equal(x["gt_score"], y["gt_score"])
+
+
+def test_multihost_shape_lockstep_after_fast_forward(tmp_path):
+    """Shape lock-step must also hold when hosts RESUME: the shape key
+    excludes the shard term and depends only on (seed, group index)."""
+    import cv2
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 6
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=6)
+    cfg.train_cfg = dict(cfg.train_cfg, batch_size=1, device_targets=False)
+    recs = []
+    for i in range(8):
+        img = RNG.randint(0, 255, (50, 50, 3)).astype(np.uint8)
+        f = tmp_path / f"lk{i}.jpg"
+        cv2.imwrite(str(f), img)
+        recs.append({
+            "im_file": str(f), "im_id": np.array([i]), "h": 50.0, "w": 50.0,
+            "gt_bbox": np.array([[5, 5, 40, 40]], np.float32),
+            "gt_class": np.array([[i % 6]], np.int32),
+            "gt_score": np.ones((1, 1), np.float32),
+            "is_crowd": np.zeros((1, 1), np.int32),
+        })
+    from ppyolo_tpu.data import train_batches
+
+    # host 0 resumes at iter 7, host 1 at iter 7, and a fresh host stream
+    # skipped 7 — all three must see the same shapes from there on
+    it0 = train_batches(recs, cfg, seed=5, num_shards=2, shard_id=0,
+                        start_iter=7)
+    it1 = train_batches(recs, cfg, seed=5, num_shards=2, shard_id=1,
+                        start_iter=7)
+    fresh = train_batches(recs, cfg, seed=5, num_shards=2, shard_id=0)
+    for _ in range(7):
+        next(fresh)
+    s0 = [next(it0)["shape"] for _ in range(5)]
+    s1 = [next(it1)["shape"] for _ in range(5)]
+    sf = [next(fresh)["shape"] for _ in range(5)]
+    assert s0 == s1 == sf
