@@ -25,6 +25,9 @@ def main(type_: str = "eval"):
     p.add_argument("--ndev", type=int, default=1,
                    help="data-parallel inference over the first N devices "
                         "(eval_batch_size must divide by N)")
+    p.add_argument("--scan_group", type=int, default=1,
+                   help=">1 scans that many batches per device dispatch "
+                        "(amortizes dispatch latency; identical detections)")
     args = p.parse_args()
     if not args.use_gpu:  # reference --use_gpu=0 semantics: run on host CPU
         import jax
@@ -32,11 +35,13 @@ def main(type_: str = "eval"):
     from configs import get_config
 
     return run_eval(get_config(args.config), type_=type_,
-                    precision=args.precision, ndev=args.ndev)
+                    precision=args.precision, ndev=args.ndev,
+                    scan_group=args.scan_group)
 
 
 def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32",
-             ndev: int = 1, result_dir: str = "eval_results"):
+             ndev: int = 1, result_dir: str = "eval_results",
+             scan_group: int = 1):
     import jax
     from ppyolo_tpu.models import PPYOLO
     from ppyolo_tpu.checkpoint import load_params_npz
@@ -91,7 +96,7 @@ def run_eval(cfg, *, type_: str = "eval", params=None, precision: str = "fp32",
                       result_dir=result_dir, clsid2catid=clsid2catid,
                       draw_image=cfg.eval_cfg.get("draw_image", False),
                       draw_thresh=cfg.eval_cfg.get("draw_thresh", 0.15),
-                      class_names=class_names)
+                      class_names=class_names, scan_group=scan_group)
     if stats is not None:
         logger.info("box ap: %.4f", float(stats[0]))
     return stats

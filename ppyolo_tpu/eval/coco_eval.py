@@ -94,7 +94,8 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
               clsid2catid: Optional[Dict[int, int]] = None,
               draw_image: bool = False, draw_thresh: float = 0.15,
               class_names: Optional[List[str]] = None,
-              distributed: Optional[bool] = None):
+              distributed: Optional[bool] = None,
+              scan_group: int = 1):
     """Drive the detector over the val set and compute mAP
     (reference cocotools.py:195-277).  Returns box AP stats (or writes the
     test-dev submission json when type_=='test_dev').  With draw_image, the
@@ -114,7 +115,18 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
     (e.g. train.py's rank-0-gated periodic eval) must pass False, or it
     would both evaluate only 1/nproc of the val set and deadlock on the
     cross-host barrier.  Default None = ``jax.process_count() > 1``, the
-    collective convention."""
+    collective convention.
+
+    ``scan_group`` > 1 runs that many batches per device dispatch via a
+    lax.scan (Detector.predict_pipelined) — per-dispatch host latency
+    amortizes over scan_group*B images; detections and the shard-json
+    protocol are identical (the scanned program is the same per-batch
+    program).  It only pays when the HOST pipeline outruns the device
+    dispatch rate: on this repo's 1-core dev container eval is
+    imread/resize-bound and scan_group=8 measured SLOWER (5.5 vs 9.5
+    img/s, r18vd@416 bf16, r3 probe), so the default stays 1; on a
+    multi-core production host feeding a remote/tunneled TPU it is the
+    same amortization that takes serving from 103 to 717 img/s."""
     import jax
 
     nproc, rank = jax.process_count(), jax.process_index()
@@ -187,9 +199,9 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
 
     writers = ThreadPoolExecutor(max_workers=4)
     pending = []
-    for (i, pimages, sizes, ids, raw_imgs, names) in Prefetcher(
-            read_batches(), max_batch=3):
-        preds = detector.predict_batch(pimages, sizes)
+
+    def handle(preds, unit):
+        i, _, _, ids, raw_imgs, names = unit
         for j, im_id in enumerate(ids):
             dets = detections_to_coco(preds[j], im_id, clsid2catid)
             if not dist:
@@ -202,6 +214,33 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
         if done % (20 * eval_batch_size) == 0:
             elapsed = time.time() - start
             print(f"Test iter {done}, {done / max(elapsed, 1e-9):.1f} img/s")
+
+    def run_group(buf):
+        """scan_group full batches -> ONE scanned device dispatch
+        (Detector.predict_pipelined); short tails go per-batch (a tail-sized
+        scan would compile a second program for one use)."""
+        if len(buf) == scan_group:
+            preds = detector.predict_pipelined(
+                np.concatenate([u[1] for u in buf]),
+                np.concatenate([u[2] for u in buf]), group=len(buf))
+            for g, unit in enumerate(buf):
+                handle(preds[g * eval_batch_size:(g + 1) * eval_batch_size],
+                       unit)
+        else:
+            for unit in buf:
+                handle(detector.predict_batch(unit[1], unit[2]), unit)
+
+    group_buf = []
+    for unit in Prefetcher(read_batches(), max_batch=max(3, scan_group + 1)):
+        if scan_group <= 1:
+            handle(detector.predict_batch(unit[1], unit[2]), unit)
+            continue
+        group_buf.append(unit)
+        if len(group_buf) == scan_group:
+            run_group(group_buf)
+            group_buf = []
+    if group_buf:
+        run_group(group_buf)
     for fut in pending:
         fut.result()  # surface writer exceptions; all shards durable
     writers.shutdown()

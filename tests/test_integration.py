@@ -168,3 +168,25 @@ def test_resume_is_equivalent_to_uninterrupted_run(tmp_path):
             np.testing.assert_array_equal(np.asarray(state_a.ema[k]),
                                           np.asarray(state_b.ema[k]),
                                           err_msg=f"ema {k}")
+
+
+def test_eval_scan_group_identical_detections(tmp_path):
+    """coco_eval(scan_group>1) scans batches inside one dispatch
+    (Detector.predict_pipelined) — the merged detections json must be
+    IDENTICAL to the per-batch path, including a ragged tail that falls
+    back to per-batch (7 images / batch 2 / group 2 -> one full group,
+    one full batch + padded tail batch outside the group)."""
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=7)
+    cfg = ItCfg(anno_path, img_dir, str(tmp_path))
+    cfg.eval_cfg = dict(cfg.eval_cfg, draw_image=False)
+    from eval import run_eval
+
+    stats1 = run_eval(cfg, result_dir=str(tmp_path / "r1"), scan_group=1)
+    stats2 = run_eval(cfg, result_dir=str(tmp_path / "r2"), scan_group=2)
+    np.testing.assert_allclose(np.asarray(stats2), np.asarray(stats1))
+    d1 = json.load(open(tmp_path / "r1" / "bbox_detections.json"))
+    d2 = json.load(open(tmp_path / "r2" / "bbox_detections.json"))
+    key = lambda d: (d["image_id"], d["category_id"], tuple(d["bbox"]),
+                     d["score"])
+    assert sorted(map(key, d1)) == sorted(map(key, d2))
+    assert len(d1) > 0

@@ -49,6 +49,10 @@ def main():
                    help="fp32 reproduces the reference bit-for-bit; bf16 is "
                         "the serving mode (expect <=0.001 mAP delta)")
     p.add_argument("--ndev", type=int, default=1)
+    p.add_argument("--scan_group", type=int, default=1,
+                   help="batches per device dispatch (identical detections; "
+                        "amortizes dispatch latency — only helps when the "
+                        "host pipeline outruns the device dispatch rate)")
     p.add_argument("--converted_out", default="/tmp/real_weights.npz")
     args = p.parse_args()
 
@@ -94,6 +98,7 @@ def main():
                             model_path=args.converted_out)
         cfg.resizeImage = dict(cfg.resizeImage, target_size=size)
         stats = run_eval(cfg, precision=args.precision, ndev=args.ndev,
+                         scan_group=args.scan_group,
                          result_dir=f"eval_results_{size}")
         if stats is None:  # non-zero rank of a multi-host run
             return
