@@ -121,12 +121,13 @@ def coco_eval(detector, images: List[dict], eval_pre_path: str, anno_file: str,
     lax.scan (Detector.predict_pipelined) — per-dispatch host latency
     amortizes over scan_group*B images; detections and the shard-json
     protocol are identical (the scanned program is the same per-batch
-    program).  It only pays when the HOST pipeline outruns the device
-    dispatch rate: on this repo's 1-core dev container eval is
-    imread/resize-bound and scan_group=8 measured SLOWER (5.5 vs 9.5
-    img/s, r18vd@416 bf16, r3 probe), so the default stays 1; on a
-    multi-core production host feeding a remote/tunneled TPU it is the
-    same amortization that takes serving from 103 to 717 img/s."""
+    program).  It pays only where DISPATCH latency dominates: on this
+    repo's dev container eval is H2D-bandwidth-bound (~39 MB/s tunnel;
+    uint8 image bytes are identical either way) and the r3 steady-state
+    probe measured a wash — 61.4 (sg=1) vs 62.0 (sg=8) img/s, r18vd@416
+    bf16, warm jits — so the default stays 1.  The serving path's 103 ->
+    717 img/s from the same amortization had device-RESIDENT inputs; for
+    eval the win appears on hosts with real PCIe bandwidth."""
     import jax
 
     nproc, rank = jax.process_count(), jax.process_index()
