@@ -91,8 +91,9 @@ def test_run_real_weights_cli(tmp_path):
         pickle.dump(sd, f, protocol=2)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # CPU forcing happens via jax.config.update in the -c preamble
+    # (JAX_PLATFORMS env is ignored under the axon sitecustomize)
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"   # honored in a fresh subprocess w/o axon? no
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"

@@ -173,10 +173,11 @@ def test_resume_is_equivalent_to_uninterrupted_run(tmp_path):
 def test_eval_scan_group_identical_detections(tmp_path):
     """coco_eval(scan_group>1) scans batches inside one dispatch
     (Detector.predict_pipelined) — the merged detections json must be
-    IDENTICAL to the per-batch path, including a ragged tail that falls
-    back to per-batch (7 images / batch 2 / group 2 -> one full group,
-    one full batch + padded tail batch outside the group)."""
-    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=7)
+    IDENTICAL to the per-batch path, including the leftover-batch fallback
+    (5 images / batch 2 -> 3 padded batches; group 2 -> one full scanned
+    group + ONE leftover batch that must take run_group's per-batch
+    branch)."""
+    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=5)
     cfg = ItCfg(anno_path, img_dir, str(tmp_path))
     cfg.eval_cfg = dict(cfg.eval_cfg, draw_image=False)
     from eval import run_eval

@@ -100,8 +100,8 @@ def main():
         stats = run_eval(cfg, precision=args.precision, ndev=args.ndev,
                          scan_group=args.scan_group,
                          result_dir=f"eval_results_{size}")
-        if stats is None:  # non-zero rank of a multi-host run
-            return
+        if stats is None:  # non-zero rank of a multi-host run: keep
+            continue       # participating in the next size's collective
         got = float(stats[0])
         want = EXPECTED.get((args.config, size))
         verdict = ("PASS" if want is not None and abs(got - want) <= TOL
@@ -111,7 +111,8 @@ def main():
         print(f"config {args.config} @{size}: mAP {got:.4f} "
               f"(BASELINE {want}) -> {verdict}")
 
-    print(json.dumps(results))
+    if results:  # non-zero ranks have nothing to report
+        print(json.dumps(results))
 
 
 if __name__ == "__main__":
