@@ -110,3 +110,25 @@ def test_run_real_weights_cli(tmp_path):
     # fabricated random weights on synthetic data: any finite mAP; the
     # wiring (convert + full eval stack + verdict print) is what's tested
     assert "config 1 @96: mAP" in r.stdout
+
+
+def test_plot_metrics_cli(tmp_path):
+    """tools/plot_metrics.py renders a metrics.jsonl (loss rows + eval rows,
+    incl. a null tflops/mfu like the CPU trainer writes) to a PNG."""
+    rows = []
+    for it in (20, 40, 60):
+        rows.append({"iter": it, "time": it * 0.05, "total_loss": 100.0 / it,
+                     "loss_xy": 1.0 / it, "loss_obj": 90.0 / it, "lr": 1e-3,
+                     "imgs_per_sec": 300.0, "tflops": None, "mfu": None})
+    rows.append({"iter": 60, "time": 3.0, "box_ap": 0.25})
+    mpath = tmp_path / "metrics.jsonl"
+    mpath.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    out = tmp_path / "curves.png"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "plot_metrics.py"),
+         "--metrics", str(mpath), "--out", str(out)],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert out.exists() and out.stat().st_size > 10_000
+    assert "4 panels" in r.stdout  # loss, lr, throughput, eval mAP (no MFU)
