@@ -22,7 +22,8 @@ from ..ops.module import flatten_tree, unflatten_tree
 
 def _write_npz_atomic(path: str, flat: Dict[str, np.ndarray]) -> None:
     """Write to a tmp name then rename: a crash mid-write never leaves a
-    truncated checkpoint under the real name (and GC globs never see it)."""
+    truncated checkpoint under the real name (gc_checkpoints explicitly
+    excludes the '.tmp.npz' suffix, so GC never counts or removes one)."""
     tmp = path + ".tmp.npz"  # np.savez appends .npz to other suffixes
     np.savez(tmp, **flat)
     os.replace(tmp, path)
@@ -112,6 +113,14 @@ class AsyncCheckpointer:
 
 
 def load_train_state(path: str, state):
+    """Restore a full-state bundle into the structure of ``state``.
+
+    Applies the same unknown-key/shape-mismatch skip rule as
+    ``load_params_npz`` to every section: a bundle saved under a different
+    config (num_classes, freeze_at, ...) must not inject wrong-shape or
+    structurally-unknown leaves — those would only surface later as opaque
+    jit shape errors or a treedef mismatch inside the optimizer update.
+    """
     from ..train.train_step import TrainState
 
     data = np.load(path)
@@ -119,17 +128,31 @@ def load_train_state(path: str, state):
     velocity = dict(state.velocity)
     ema = dict(state.ema) if state.ema is not None else None
     step = state.step
+    skipped = []
+
+    def take(dst, key, k):
+        if dst is None or key not in dst or (
+                tuple(np.shape(dst[key])) != tuple(data[k].shape)):
+            skipped.append(k)
+            return
+        dst[key] = jnp.asarray(data[k])
+
     for k in data.files:
         if k.startswith("params/"):
-            params[k[len("params/"):]] = jnp.asarray(data[k])
+            take(params, k[len("params/"):], k)
         elif k.startswith("velocity/"):
-            velocity[k[len("velocity/"):]] = jnp.asarray(data[k])
-        elif k.startswith("ema/") and ema is not None:
-            kk = k[len("ema/"):]
-            if kk in ema:  # pre-r3 bundles shadowed EVERY leaf (incl. BN
-                ema[kk] = jnp.asarray(data[k])  # stats); keep trainables
+            take(velocity, k[len("velocity/"):], k)
+        elif k.startswith("ema/"):
+            # pre-r3 bundles shadowed EVERY leaf (incl. BN stats); the
+            # key-membership check keeps only the trainable shadows
+            take(ema, k[len("ema/"):], k)
         elif k == "step":
             step = jnp.asarray(data[k])
+        else:
+            skipped.append(k)
+    if skipped:
+        print(f"[checkpoint] resume skipped {len(skipped)} keys "
+              f"(shape mismatch / unknown): {skipped[:5]}...")
     return TrainState(unflatten_tree(params), velocity, ema, step)
 
 
@@ -140,7 +163,14 @@ def resume_step_from_filename(path: str) -> Optional[int]:
 
 
 def gc_checkpoints(directory: str, keep: int = 10, pattern: str = "step*.npz"):
-    """Keep only the newest ``keep`` checkpoints (reference train.py:467-477)."""
-    files = sorted(glob.glob(os.path.join(directory, pattern)))
+    """Keep only the newest ``keep`` checkpoints (reference train.py:467-477).
+
+    In-flight/orphaned atomic-write temporaries ('...npz.tmp.npz' — np.savez
+    forces the trailing .npz) also match 'step*.npz'; they are excluded so a
+    crash-orphaned tmp neither counts toward ``keep`` nor gets a concurrent
+    writer's tmp removed out from under its os.replace.
+    """
+    files = sorted(f for f in glob.glob(os.path.join(directory, pattern))
+                   if not f.endswith(".tmp.npz"))
     for f in files[:-keep]:
         os.remove(f)

@@ -219,13 +219,20 @@ class Prefetcher:
         self._it = it
         self._q: queue.Queue = queue.Queue(maxsize=max_batch)
         self._done = object()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
+        # A producer crash must NOT look like a clean end-of-stream to the
+        # consumer (a mid-eval imread failure would otherwise silently
+        # truncate the val set and report a partial mAP as the full result):
+        # record the exception and re-raise it from __next__.
         try:
             for item in self._it:
                 self._q.put(item)
+        except BaseException as e:  # noqa: BLE001 - relayed to the consumer
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -235,5 +242,8 @@ class Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise RuntimeError(
+                    "data producer thread failed") from self._error
             raise StopIteration
         return item

@@ -129,14 +129,21 @@ class CutmixImage(BaseOperator):
         canvas = np.zeros((h, w, 3), np.float32)
         canvas[: img1.shape[0], : img1.shape[1]] = img1
         canvas[y1:y2, x1:x2] = 0
-        canvas[y1:y2, x1:x2] += img2[
-            y1:min(y2, img2.shape[0]), x1:min(x2, img2.shape[1])
-        ] if img2.shape[0] > y1 and img2.shape[1] > x1 else 0
+        # paste only the part of the cut rectangle the partner image covers
+        # (partial overlap is the common case when the partner is smaller);
+        # the uncovered remainder stays zeroed
+        ye, xe = min(y2, img2.shape[0]), min(x2, img2.shape[1])
+        if ye > y1 and xe > x1:
+            canvas[y1:ye, x1:xe] = img2[y1:ye, x1:xe]
         sample["image"] = canvas.astype(np.uint8)
         sample["gt_bbox"] = np.concatenate([sample["gt_bbox"], other["gt_bbox"]], 0)
         sample["gt_class"] = np.concatenate([sample["gt_class"], other["gt_class"]], 0)
         sample["gt_score"] = np.concatenate(
             [sample["gt_score"] * factor, other["gt_score"] * (1 - factor)], 0)
+        if "is_crowd" in sample and "is_crowd" in other:
+            # keep per-box arrays in lock-step (RandomCrop np.take's on it)
+            sample["is_crowd"] = np.concatenate(
+                [sample["is_crowd"], other["is_crowd"]], 0)
         sample["h"], sample["w"] = h, w
         return sample
 

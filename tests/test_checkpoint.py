@@ -321,3 +321,55 @@ def test_run_training_orbax_backend_and_resume(tmp_path):
         data_pkg.train_batches = real_tb
     assert int(np.asarray(state2.step)) == 4
     assert seen_start == [2], seen_start
+
+
+def test_gc_ignores_atomic_tmp_files(tmp_path):
+    """An orphaned '.tmp.npz' (crash mid-atomic-write) matches 'step*.npz'
+    by fnmatch; GC must neither count it toward keep nor delete it out from
+    under a concurrent writer's os.replace."""
+    import glob as g
+    for i in range(11):
+        save_params_npz(str(tmp_path / f"step{i:08d}.npz"), {"a": jnp.zeros(1)})
+    (tmp_path / "step00000099.npz.tmp.npz").write_bytes(b"partial")
+    gc_checkpoints(str(tmp_path), keep=10)
+    left = sorted(g.glob(str(tmp_path / "step*.npz")))
+    assert str(tmp_path / "step00000099.npz.tmp.npz") in left
+    real = [f for f in left if not f.endswith(".tmp.npz")]
+    assert len(real) == 10
+    assert str(tmp_path / "step00000000.npz") not in real  # oldest GC'd
+
+
+def test_train_state_resume_skips_mismatched_shapes(tmp_path):
+    """Full-state resume applies the same skip rule as load_params_npz:
+    a bundle saved under a different num_classes must not inject
+    wrong-shape or unknown leaves (regression: unconditional assignment)."""
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 4
+    cfg.head = dict(cfg.head, num_classes=4)
+    model = PPYOLO.from_config(cfg)
+    state = init_train_state(model, model.init(jax.random.PRNGKey(0)), cfg)
+    p = str(tmp_path / "state.npz")
+    save_train_state(p, state)
+
+    cfg2 = PPYOLO_r18vd_Config()
+    cfg2.num_classes = 7  # output convs change shape
+    cfg2.head = dict(cfg2.head, num_classes=7)
+    model2 = PPYOLO.from_config(cfg2)
+    fresh = init_train_state(model2, model2.init(jax.random.PRNGKey(1)), cfg2)
+    restored = load_train_state(p, fresh)
+    # structure identical to the fresh state (jit/optimizer treedefs hold)
+    assert jax.tree.structure(restored.params) == jax.tree.structure(fresh.params)
+    assert set(restored.velocity) == set(fresh.velocity)
+    # backbone leaves restored, mismatched output-conv leaves kept from fresh
+    flat_s = dict(flatten_tree(state.params))
+    flat_r = dict(flatten_tree(restored.params))
+    flat_f = dict(flatten_tree(fresh.params))
+    hits = miss = 0
+    for k, v in flat_r.items():
+        if np.shape(flat_s.get(k)) == np.shape(v):
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_s[k]))
+            hits += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_f[k]))
+            miss += 1
+    assert hits > 0 and miss > 0

@@ -283,3 +283,33 @@ def test_multihost_shape_lockstep_after_fast_forward(tmp_path):
     s1 = [next(it1)["shape"] for _ in range(5)]
     sf = [next(fresh)["shape"] for _ in range(5)]
     assert s0 == s1 == sf
+
+
+def test_cutmix_partial_overlap_and_is_crowd():
+    """Partner smaller than the canvas: the cut rect may only partially
+    overlap the partner image (regression: broadcast ValueError), and the
+    per-box arrays must stay in lock-step (is_crowd was not concatenated)."""
+    for seed in range(50):
+        s = _sample(h=200, w=200)
+        s["cutmix"] = _sample(h=100, w=100)
+        out = T.CutmixImage()(s, np.random.RandomState(seed))
+        assert out["image"].shape == (200, 200, 3)
+        n = out["gt_bbox"].shape[0]
+        assert out["gt_class"].shape[0] == n
+        assert out["gt_score"].shape[0] == n
+        assert out["is_crowd"].shape[0] == n
+
+
+def test_prefetcher_propagates_producer_errors():
+    """A producer crash must surface to the consumer, not truncate the
+    stream (a silently-partial eval would report a wrong mAP)."""
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("imread failed")
+
+    pf = Prefetcher(gen(), max_batch=2)
+    assert next(pf) == 1
+    assert next(pf) == 2
+    with pytest.raises(RuntimeError, match="producer"):
+        next(pf)
