@@ -50,8 +50,13 @@ def _match_img(dts, gts, ious_full, area_rng):
     """Match one (image, category) given precomputed IoUs in original gt
     order; dts already score-sorted and truncated to the largest maxDet."""
     g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], bool)
-    g_ignore = g_crowd | np.array([
-        g["area"] < area_rng[0] or g["area"] > area_rng[1] for g in gts], bool)
+    # pycocotools _prepare: ann['ignore'] = iscrowd or explicit ignore flag;
+    # evaluateImg then ORs in the area-range test.  Only CROWD drives the
+    # multi-match rule below; a plain ignore=1 gt is ignored but single-match.
+    g_ignore = (g_crowd
+                | np.array([bool(g.get("ignore", 0)) for g in gts], bool)
+                | np.array([g["area"] < area_rng[0] or g["area"] > area_rng[1]
+                            for g in gts], bool))
     # gt order: non-ignored first (pycocotools sorts by ignore flag)
     g_order = np.argsort(g_ignore, kind="stable")
     gts = [gts[i] for i in g_order]
@@ -110,8 +115,11 @@ def evaluate_map(gt_annotations: Dict, detections: List[Dict],
     detections: list of {image_id, category_id, bbox [x,y,w,h], score}.
     Returns the 12 COCO stats (AP, AP50, AP75, APs/m/l, AR1/10/100, ARs/m/l).
     """
-    img_ids = [im["id"] for im in gt_annotations["images"]]
-    cat_ids = sorted(c["id"] for c in gt_annotations["categories"])
+    # pycocotools evaluates sorted-unique ids (COCOeval.__init__ sorts,
+    # evaluate() np.unique's); iteration order matters for cross-image
+    # score ties under the stable mergesort, so match it exactly.
+    img_ids = sorted({im["id"] for im in gt_annotations["images"]})
+    cat_ids = sorted({c["id"] for c in gt_annotations["categories"]})
     gt_by = defaultdict(list)
     for g in gt_annotations["annotations"]:
         g = dict(g)
