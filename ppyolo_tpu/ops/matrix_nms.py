@@ -79,6 +79,10 @@ def _matrix_nms_single(
     kanch = min(max(512, k), a)
     # packed u32 sort keys need masked scores >= 0 (bf16 sign bit clear)
     nonneg = score_threshold >= 0.0
+    # masked-out sentinel must sort BELOW every surviving score; 0.0 only
+    # works for nonnegative thresholds (a 0.0 would outrank a valid negative
+    # score and then read as "valid" since 0 > thr) — use -inf otherwise
+    sent = 0.0 if nonneg else -jnp.inf
     if c > 1 and a > 2 * kanch:
         # Two-stage exact top-k: prefilter kanch anchors by max class score,
         # then top-k over the [kanch*c] survivors.  Exact because any pair in
@@ -91,16 +95,16 @@ def _matrix_nms_single(
         # ~0.3 ms/batch at b8@608); the gathered [kanch,c] sub-block is
         # re-masked instead (tiny)
         anchor_max = jnp.concatenate([
-            jnp.max(jnp.where(s > score_threshold, s, 0.0), axis=-1)
+            jnp.max(jnp.where(s > score_threshold, s, sent), axis=-1)
             for s in scores_list])                         # [a]
         _, anchor_idx = lax.top_k(anchor_max, kanch)       # [kanch]
         sub_raw = _gather_levels(scores_list, anchor_idx)  # [kanch, c]
-        sub = jnp.where(sub_raw > score_threshold, sub_raw, 0.0)
+        sub = jnp.where(sub_raw > score_threshold, sub_raw, sent)
         vals, sub_i = _topk_pairs(sub.reshape(kanch * c), k, nonneg)
         idx = anchor_idx[sub_i // c] * c + sub_i % c
     else:
         flat = jnp.concatenate(scores_list, axis=0).reshape(a * c)
-        masked = jnp.where(flat > score_threshold, flat, 0.0)
+        masked = jnp.where(flat > score_threshold, flat, sent)
         vals, idx = lax.top_k(masked, k)                   # descending
     # masking/top-k run in the score dtype (bf16 in bf16 serving — the bulk
     # [A,C] traffic); the k-sized decay epilogue below is always fp32
@@ -156,7 +160,10 @@ def _multiclass_nms_single(boxes, scores, *, score_threshold, nms_threshold,
     a, c = scores.shape
     k = min(nms_top_k, a * c)
     flat = scores.reshape(a * c)
-    masked = jnp.where(flat > score_threshold, flat, 0.0)
+    # same sentinel rule as _matrix_nms_single: 0.0 is only a valid
+    # "below everything surviving" sentinel when the threshold is >= 0
+    masked = jnp.where(flat > score_threshold, flat,
+                       0.0 if score_threshold >= 0.0 else -jnp.inf)
     vals, idx = lax.top_k(masked, k)
     vals = vals.astype(jnp.float32)
     valid = vals > score_threshold

@@ -1,26 +1,35 @@
-"""Golden-detection regression fixture.
+"""Golden-detection regression fixtures.
 
-Freezes the end-to-end fp32 prediction of a fixed-seed r18vd on a fixed
-input.  Any future optimization (kernel rewrites, fusion changes, layout
+Freezes the end-to-end fp32 prediction of fixed-seed models on fixed
+inputs.  Any future optimization (kernel rewrites, fusion changes, layout
 moves) must keep these detections bit-close — the guard the reference never
-had for its own refactors.  Regenerate with REGEN=1 python -m pytest
-tests/test_golden.py after an INTENTIONAL semantic change.
+had for its own refactors.  Two fixtures: r18vd (plain path) and the
+flagship ppyolo_2x (DCN + CoordConv + SPP + IoU-aware fuse — the config
+that carries the 0.448 north star, VERDICT r3 #3), so the exotic-op path is
+pinned without needing torch at runtime.  Regenerate with
+REGEN=1 python -m pytest tests/test_golden.py after an INTENTIONAL
+semantic change.
 """
 import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ppyolo_tpu.models import PPYOLO
 from ppyolo_tpu.ops.module import Ctx
-from configs import PPYOLO_r18vd_Config
+from configs import PPYOLO_2x_Config, PPYOLO_r18vd_Config
 
-FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden_r18vd.npz")
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+CASES = {
+    "r18vd": (PPYOLO_r18vd_Config, "golden_r18vd.npz"),
+    "2x": (PPYOLO_2x_Config, "golden_2x.npz"),
+}
 
 
-def _compute():
-    cfg = PPYOLO_r18vd_Config()
+def _compute(cfg_cls):
+    cfg = cfg_cls()
     cfg.num_classes = 6
     cfg.head = dict(cfg.head, num_classes=6)
     model = PPYOLO.from_config(cfg)
@@ -33,15 +42,18 @@ def _compute():
     return np.asarray(pred), np.asarray(outs[0])
 
 
-def test_golden_detections():
-    pred, out0 = _compute()
-    if os.environ.get("REGEN") or not os.path.exists(FIXTURE):
-        os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
-        np.savez(FIXTURE, pred=pred, out0=out0)
+@pytest.mark.parametrize("name", list(CASES))
+def test_golden_detections(name):
+    cfg_cls, fname = CASES[name]
+    fixture = os.path.join(FIXDIR, fname)
+    pred, out0 = _compute(cfg_cls)
+    if os.environ.get("REGEN") or not os.path.exists(fixture):
+        os.makedirs(FIXDIR, exist_ok=True)
+        np.savez(fixture, pred=pred, out0=out0)
         if not os.environ.get("REGEN"):
             print("golden fixture created; rerun to verify")
         return
-    ref = np.load(FIXTURE)
+    ref = np.load(fixture)
     # raw head map: tight tolerance (pure conv stack)
     np.testing.assert_allclose(out0, ref["out0"], rtol=1e-4, atol=1e-4)
     # final detections: labels exact, scores tight, boxes loose (exp decode)

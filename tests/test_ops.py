@@ -327,6 +327,87 @@ def test_topk_pairs_packed_matches_lax():
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(li))
 
 
+def test_topk_pairs_branch_boundary():
+    """Both _topk_pairs branches agree bitwise at the u32-packing size
+    boundary (n=65535 packed / n=65536 fallback — VERDICT r3 #9), so a
+    future anchor-count or config change cannot silently change NMS
+    semantics.  n=65535 also stresses the index packing edge: slot 0
+    encodes as 65535, saturating all 16 low key bits."""
+    from ppyolo_tpu.ops.matrix_nms import _topk_pairs
+    r = np.random.RandomState(1)
+    vals = np.array([0.0, 0.125, 0.25, 0.5, 0.8984375], np.float32)
+    for n in (65535, 65536):
+        x = jnp.asarray(vals[r.randint(0, len(vals), n)], jnp.bfloat16)
+        pv, pi = jax.jit(lambda v: _topk_pairs(v, 500, True))(x)
+        lv, li = jax.jit(lambda v: jax.lax.top_k(v, 500))(x)
+        np.testing.assert_array_equal(np.asarray(pv, np.float32),
+                                      np.asarray(lv, np.float32))
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(li))
+
+
+def test_matrix_nms_packed_branch_selection_and_parity():
+    """Branch SELECTION is part of the contract: bf16 + nonnegative
+    threshold takes the packed-u32 sort, score_threshold<0 must take the
+    lax.top_k fallback (negative bf16 bit patterns do not order as u32);
+    and forcing the fallback on the same bf16 inputs leaves the full
+    matrix_nms output bitwise unchanged."""
+    import sys
+
+    import ppyolo_tpu.ops.matrix_nms  # noqa: F401
+    mnms = sys.modules["ppyolo_tpu.ops.matrix_nms"]
+
+    r = np.random.RandomState(2)
+    a, c = 1200, 4  # a > 2*kanch(=512*?) -> two-stage path feeds _topk_pairs
+    boxes = np.abs(r.randn(1, a, 4)).astype(np.float32) * 50
+    boxes[..., 2:] += boxes[..., :2] + 1
+    scores = r.rand(1, a, c).astype(np.float32)
+    cfg = dict(score_threshold=0.01, post_threshold=0.05, nms_top_k=100,
+               keep_top_k=50, use_gaussian=False, nms_type="matrix_nms")
+
+    seen = []
+    orig = mnms._topk_pairs
+
+    def spy(sub, k, nonneg):
+        seen.append((sub.dtype, bool(nonneg)))
+        return orig(sub, k, nonneg)
+
+    mnms._topk_pairs = spy
+    try:
+        sb = jnp.asarray(scores, jnp.bfloat16)
+        out_packed = np.asarray(
+            mnms.matrix_nms(jnp.asarray(boxes), sb, cfg), np.float32)
+        assert seen and seen[-1] == (jnp.bfloat16, True)
+        mnms.matrix_nms(jnp.asarray(boxes), sb,
+                        dict(cfg, score_threshold=-0.5))
+        assert seen[-1] == (jnp.bfloat16, False)  # fallback branch selected
+
+        # force the lax.top_k fallback on identical bf16 inputs
+        mnms._topk_pairs = lambda sub, k, nonneg: jax.lax.top_k(sub, k)
+        out_forced = np.asarray(
+            mnms.matrix_nms(jnp.asarray(boxes), sb, cfg), np.float32)
+    finally:
+        mnms._topk_pairs = orig
+    np.testing.assert_array_equal(out_packed, out_forced)
+
+
+def test_matrix_nms_negative_threshold_matches_oracle():
+    """score_threshold<0 (fallback branch end-to-end) still matches the
+    dynamic-shape numpy oracle, incl. reference tie semantics
+    (matrix_nms.py:120-125)."""
+    r = np.random.RandomState(3)
+    a, c = 40, 3
+    boxes = np.abs(r.randn(a, 4)).astype(np.float32) * 40
+    boxes[:, 2:] += boxes[:, :2] + 1
+    scores = (r.rand(a, c).astype(np.float32) - 0.3)  # some negative scores
+    cfg = dict(score_threshold=-0.1, post_threshold=0.1, nms_top_k=24,
+               keep_top_k=12, use_gaussian=False, nms_type="matrix_nms")
+    out = np.asarray(matrix_nms(jnp.array(boxes[None]),
+                                jnp.array(scores[None]), cfg))[0]
+    ref = _numpy_matrix_nms(boxes, scores, cfg)
+    np.testing.assert_allclose(out[:len(ref)], ref, rtol=1e-5, atol=1e-5)
+    assert (out[len(ref):] == -1).all()
+
+
 def test_matrix_nms_gaussian_and_empty():
     cfg = dict(score_threshold=0.5, post_threshold=0.5, nms_top_k=8,
                keep_top_k=4, use_gaussian=True, gaussian_sigma=2.0,
