@@ -208,7 +208,8 @@ def deform_conv2d_pallas(x, weight, offset, mask, *, stride: int = 1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Pp, out_c), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * k2 * (Pp * Qp + Pp * C) * C,
+            # S@x (2*P*Q*C) + sampled@W_k (2*P*C*out_c), per (n, tap)
+            flops=2 * N * k2 * Pp * C * (Qp + out_c),
             bytes_accessed=N * (Qp * C * 2 + k2 * Pp * 40) + k2 * C * out_c * 2,
             transcendentals=0,
         ),

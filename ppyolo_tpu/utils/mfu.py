@@ -38,8 +38,54 @@ def peak_flops_per_chip(device: Optional[jax.Device] = None) -> Optional[float]:
     return None
 
 
+def custom_call_flops(fn, *args, **kwargs) -> list:
+    """FLOPs of every Pallas kernel in the traced program.
+
+    XLA's cost analysis reports 0 FLOPs for custom calls, so a program with
+    Pallas kernels (DCN fwd/bwd, fused stem) understates MFU.  Each
+    ``pallas_call`` in this repo carries a hand-derived ``CostEstimate``
+    (the DESIGN.md roofline arithmetic); this walks the traced jaxpr and
+    returns ``[(kernel_name, flops, interpreted), ...]`` — one entry per
+    pallas_call equation, counted ONCE per syntactic occurrence exactly
+    like XLA counts a scan body (callers scale by scan steps).
+
+    ``interpreted=True`` kernels (the CPU fallback) lower to ordinary HLO
+    that XLA's analysis already counts — only ``interpreted=False`` entries
+    should be ADDED on top of the XLA number (``program_flops`` does this).
+    """
+    from jax.extend import core as jex_core
+
+    jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
+    CJ, J = jex_core.ClosedJaxpr, jex_core.Jaxpr
+    found = []
+
+    def walk(jxp):
+        for eqn in jxp.eqns:
+            if eqn.primitive.name == "pallas_call":
+                est = eqn.params.get("cost_estimate")
+                kj = eqn.params.get("jaxpr")
+                name = "pallas_call"
+                dbg = getattr(getattr(kj, "jaxpr", kj), "debug_info", None)
+                if dbg is not None and getattr(dbg, "func_name", None):
+                    name = dbg.func_name
+                found.append((name,
+                              float(est.flops) if est is not None else 0.0,
+                              bool(eqn.params.get("interpret", False))))
+            for v in eqn.params.values():
+                for u in (v if isinstance(v, (list, tuple)) else (v,)):
+                    if isinstance(u, CJ):
+                        walk(u.jaxpr)
+                    elif isinstance(u, J):
+                        walk(u)
+
+    walk(jaxpr.jaxpr)
+    return found
+
+
 def program_flops(fn, *args, **kwargs) -> Optional[float]:
-    """FLOPs of one invocation of ``fn(*args)`` per XLA's cost analysis.
+    """FLOPs of one invocation of ``fn(*args)``: XLA's cost analysis of the
+    lowered HLO plus the hand-derived FLOPs of every non-interpreted Pallas
+    custom call (XLA reports those as 0 — the r3 MFU understatement).
 
     ``fn`` may be jitted or plain (it is wrapped).  Tracing only — nothing
     executes and nothing compiles on the backend.
@@ -60,6 +106,13 @@ def program_flops(fn, *args, **kwargs) -> Optional[float]:
             # is already in the persistent compilation cache, so this is a
             # cache hit, not a second real compile
             out = _flops(lowered.compile().cost_analysis())
+        if out is not None:
+            try:
+                out += sum(f for _, f, interp in
+                           custom_call_flops(fn, *args, **kwargs)
+                           if not interp)
+            except Exception:
+                pass  # registry is additive-only; never lose the XLA number
         return out
     except Exception:
         return None
