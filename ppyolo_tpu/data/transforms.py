@@ -190,7 +190,7 @@ class ColorDistort(BaseOperator):
         low, high, prob = self.hue
         if rng.uniform(0.0, 1.0) < prob:
             return img
-        img = img.astype(np.float32)
+        img = img.astype(np.float32, copy=False)
         delta = rng.uniform(low, high)
         u = np.cos(delta * np.pi)
         w = np.sin(delta * np.pi)
@@ -208,7 +208,7 @@ class ColorDistort(BaseOperator):
         if rng.uniform(0.0, 1.0) < prob:
             return img
         delta = rng.uniform(low, high)
-        img = img.astype(np.float32)
+        img = img.astype(np.float32, copy=False)
         gray = (img * np.array([[[0.299, 0.587, 0.114]]], np.float32)).sum(
             axis=2, keepdims=True)
         return img * delta + gray * (1.0 - delta)
@@ -217,13 +217,13 @@ class ColorDistort(BaseOperator):
         low, high, prob = self.contrast
         if rng.uniform(0.0, 1.0) < prob:
             return img
-        return img.astype(np.float32) * rng.uniform(low, high)
+        return img.astype(np.float32, copy=False) * rng.uniform(low, high)
 
     def _brightness(self, img, rng):
         low, high, prob = self.brightness
         if rng.uniform(0.0, 1.0) < prob:
             return img
-        return img.astype(np.float32) + rng.uniform(low, high)
+        return img.astype(np.float32, copy=False) + rng.uniform(low, high)
 
     def __call__(self, sample, rng):
         img = sample["image"]
@@ -257,9 +257,12 @@ class RandomExpand(BaseOperator):
             return sample
         y = rng.randint(0, h - height)
         x = rng.randint(0, w - width)
-        canvas = np.ones((h, w, 3), np.uint8) * np.array(
-            self.fill_value, np.uint8)
-        canvas[y:y + height, x:x + width] = img.astype(np.uint8)
+        # empty + broadcast-assign: one pass (ones*fill was two allocs+passes)
+        canvas = np.empty((h, w, 3), np.uint8)
+        canvas[:] = np.array(self.fill_value, np.uint8)
+        # direct assignment casts with the same C semantics as astype(uint8)
+        # but skips the intermediate full-image copy
+        canvas[y:y + height, x:x + width] = img
         sample["h"], sample["w"] = h, w
         sample["image"] = canvas
         if len(sample.get("gt_bbox", [])) > 0:

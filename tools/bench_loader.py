@@ -1,0 +1,190 @@
+"""Host input-pipeline throughput: imgs/s-per-core + per-op attribution.
+
+VERDICT r3 #5 / SURVEY §7 hard-part #6: the device step is fast enough
+(~321 img/s frozen b16@608 on one v5e) that the HOST is the plausible
+production bottleneck, and the reference hides its answer behind 5 reader
+threads (/root/reference/train.py:101-110).  This tool measures the full
+train sample chain — JPEG decode -> mixup -> color distort -> expand ->
+crop -> flip -> box ops -> RandomShape resize -> uint8 assemble — on a
+synthetic image set matching COCO val2017's size distribution, attributes
+wall time per transform, and prints how many host cores keep one chip fed.
+
+Usage:  python tools/bench_loader.py [--n_images 48] [--batches 12]
+        [--batch_size 16] [--threads 0] [--image_dir DIR]
+
+One JSON summary line is printed last (machine-readable).
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# COCO val2017 (w, h) distribution, coarse quantiles: most images are
+# max-side-640 with 4:3-ish aspect; a tail is small or square.
+COCO_SIZES = [(640, 480), (640, 427), (640, 478), (480, 640), (640, 360),
+              (500, 375), (640, 425), (427, 640), (640, 512), (375, 500),
+              (640, 640), (320, 240)]
+
+
+def make_images(img_dir, n, rng):
+    """JPEGs with natural-ish entropy: blurred noise + gradients (pure
+    noise over-states decode cost ~2x; flat color understates it)."""
+    import cv2
+
+    paths = []
+    for i in range(n):
+        w, h = COCO_SIZES[i % len(COCO_SIZES)]
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = np.stack([
+            127 + 80 * np.sin(xx / 97.0 + i),
+            127 + 80 * np.cos(yy / 83.0 - i),
+            127 + 60 * np.sin((xx + yy) / 131.0),
+        ], axis=-1)
+        noise = rng.randn(h // 4 + 1, w // 4 + 1, 3).astype(np.float32) * 40
+        noise = cv2.resize(noise, (w, h), interpolation=cv2.INTER_LINEAR)
+        img = np.clip(base + noise, 0, 255).astype(np.uint8)
+        p = os.path.join(img_dir, f"bench_{i:04d}.jpg")
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        paths.append((p, w, h))
+    return paths
+
+
+def make_records(paths, rng):
+    records = []
+    for i, (p, w, h) in enumerate(paths):
+        n_box = int(rng.randint(1, 9))
+        x1 = rng.uniform(0, w * 0.6, n_box)
+        y1 = rng.uniform(0, h * 0.6, n_box)
+        bw = rng.uniform(8, w * 0.4, n_box)
+        bh = rng.uniform(8, h * 0.4, n_box)
+        gt_bbox = np.stack([x1, y1, np.minimum(x1 + bw, w - 1),
+                            np.minimum(y1 + bh, h - 1)], -1).astype(np.float32)
+        records.append({
+            "im_file": p, "im_id": np.array([i]), "h": float(h), "w": float(w),
+            "is_crowd": np.zeros((n_box, 1), np.int32),
+            "gt_class": rng.randint(0, 80, (n_box, 1)).astype(np.int32),
+            "anno_id": list(range(n_box)),
+            "gt_bbox": gt_bbox,
+            "gt_score": np.ones((n_box, 1), np.float32),
+        })
+    return records
+
+
+class TimedOp:
+    """Wraps a sample transform, accumulating wall seconds per op name."""
+
+    def __init__(self, op, sink):
+        self.op = op
+        self.sink = sink
+        self.name = type(op).__name__
+
+    def __call__(self, sample, rng):
+        t0 = time.perf_counter()
+        out = self.op(sample, rng)
+        self.sink[self.name] += time.perf_counter() - t0
+        return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_images", type=int, default=48)
+    ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--threads", type=int, default=0,
+                    help="num_threads for train_batches (0 = single thread)")
+    ap.add_argument("--image_dir", type=str, default=None,
+                    help="use real images instead of synthetic ones")
+    ap.add_argument("--device_img_s", type=float, default=321.0,
+                    help="device step rate to size cores against "
+                         "(v5e frozen b16@608 = 321 img/s, DESIGN.md)")
+    args = ap.parse_args()
+
+    from configs import PPYOLO_2x_Config
+    from ppyolo_tpu.data import loader as L
+    from ppyolo_tpu.data.coco import get_samples
+
+    rng = np.random.RandomState(0)
+    tmp = None
+    if args.image_dir:
+        import cv2
+        paths = []
+        for f in sorted(os.listdir(args.image_dir))[:args.n_images]:
+            p = os.path.join(args.image_dir, f)
+            im = cv2.imread(p)
+            if im is not None:
+                paths.append((p, im.shape[1], im.shape[0]))
+    else:
+        tmp = tempfile.mkdtemp(prefix="bench_loader_")
+        paths = make_images(tmp, args.n_images, rng)
+    records = make_records(paths, rng)
+
+    cfg = PPYOLO_2x_Config()
+    cfg.train_cfg = dict(cfg.train_cfg, batch_size=args.batch_size,
+                         mixup_epoch=10 ** 9,  # production window: mixup ON
+                         num_threads=args.threads)
+
+    sink = defaultdict(float)
+    ops = [TimedOp(op, sink) for op in L.build_sample_transforms(cfg)]
+    n_img = 0
+    t_sample = 0.0
+    t_assemble = 0.0
+    t_getsamples = 0.0
+    indexes = list(range(len(records)))
+    warm = 2
+    for b in range(args.batches + warm):
+        if b == warm:  # drop warmup (numpy/cv2 first-call costs)
+            for k in sink:
+                sink[k] = 0.0
+            t_sample = t_assemble = t_getsamples = n_img = 0
+        it_rng = np.random.RandomState(100 + b)
+        step = b % max(len(records) // args.batch_size, 1)
+        t0 = time.perf_counter()
+        samples = get_samples(records, indexes, step, args.batch_size, b,
+                              True, False, 10 ** 9, 0, it_rng)
+        t_getsamples += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        samples = [L.apply_sample_transforms(s, ops, it_rng)
+                   for s in samples]
+        t_sample += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        L.assemble_batch(samples, cfg, it_rng)
+        t_assemble += time.perf_counter() - t0
+        n_img += len(samples)
+
+    total = t_getsamples + t_sample + t_assemble
+    img_s = n_img / total
+    cores = args.device_img_s / img_s
+    print(f"\n{n_img} images, batch {args.batch_size}, "
+          f"{'synthetic COCO-size' if not args.image_dir else args.image_dir}"
+          f" set")
+    print(f"{'op':<22}{'ms/img':>9}{'share':>8}")
+    rows = sorted(sink.items(), key=lambda kv: -kv[1])
+    for name, sec in rows:
+        print(f"{name:<22}{sec / n_img * 1e3:>9.2f}{sec / total:>8.1%}")
+    print(f"{'get_samples(deepcopy)':<22}{t_getsamples / n_img * 1e3:>9.2f}"
+          f"{t_getsamples / total:>8.1%}")
+    print(f"{'assemble(resize+pack)':<22}{t_assemble / n_img * 1e3:>9.2f}"
+          f"{t_assemble / total:>8.1%}")
+    print(f"{'TOTAL':<22}{total / n_img * 1e3:>9.2f}{1:>8.0%}")
+    print(f"\nhost pipeline: {img_s:.1f} img/s/core; one chip at "
+          f"{args.device_img_s:.0f} img/s needs ~{cores:.1f} cores "
+          f"({int(np.ceil(cores))} rounded up)")
+    worst = rows[0] if rows and rows[0][1] > max(t_assemble, t_getsamples) \
+        else ("assemble", t_assemble)
+    print(json.dumps({
+        "metric": "loader_imgs_per_sec_per_core", "value": round(img_s, 2),
+        "unit": "img/s", "cores_per_chip": round(cores, 2),
+        "device_img_s": args.device_img_s,
+        "worst_op": worst[0], "worst_ms_per_img": round(worst[1] / n_img * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
