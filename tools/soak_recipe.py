@@ -1,0 +1,186 @@
+"""Full-recipe training-mechanics soak (VERDICT r3 #4).
+
+Every production train-loop mechanism composed and run ON HARDWARE at once:
+10-bucket RandomShape (the reference's config/ppyolo_2x.py:189 sizes) x
+mixup window x EMA x periodic eval, with tools/warmup_shapes.py AOT
+pre-compiling every bucket first.  Records total warmup compile time,
+per-bucket step time / MFU from metrics.jsonl, and asserts no step stalled
+on a fresh remote compile after warmup (a cache miss on this runtime is
+90-340 s; the pass threshold is 60 s).
+
+  python tools/soak_recipe.py [--iters 200] [--batch 8] [--precision bf16]
+      [--eval_iter 100] [--out_dir /tmp/soak] [--classes 80] [--n_images 64]
+
+Prints a per-bucket table and one JSON summary line.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIZES_10 = [320, 352, 384, 416, 448, 480, 512, 544, 576, 608]
+
+
+def make_dataset(root, n_images, n_classes, rng):
+    """Synthetic COCO dataset with drawn square objects (the integration-test
+    recipe at a larger scale: objects ARE learnable, so losses must fall)."""
+    import cv2
+
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    images, annos = [], []
+    aid = 1
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
+               (255, 0, 255), (0, 255, 255)]
+    for i in range(n_images):
+        h, w = [(480, 640), (640, 480), (512, 512)][i % 3]
+        img = rng.randint(40, 200, (h, w, 3)).astype(np.uint8)
+        n_obj = rng.randint(1, 4)
+        for j in range(n_obj):
+            cls = rng.randint(0, min(n_classes, len(palette)))
+            bw, bh = rng.randint(60, 160), rng.randint(60, 160)
+            x = rng.randint(0, w - bw)
+            y = rng.randint(0, h - bh)
+            img[y:y + bh, x:x + bw] = palette[cls]
+            annos.append({"id": aid, "image_id": i + 1,
+                          "category_id": cls + 1,
+                          "bbox": [float(x), float(y), float(bw), float(bh)],
+                          "area": float(bw * bh), "iscrowd": 0})
+            aid += 1
+        fname = f"im{i:04d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, fname), img)
+        images.append({"id": i + 1, "file_name": fname,
+                       "width": w, "height": h})
+    anno = {"images": images, "annotations": annos,
+            "categories": [{"id": c + 1, "name": f"c{c}"}
+                           for c in range(n_classes)]}
+    anno_path = os.path.join(root, "train.json")
+    with open(anno_path, "w") as f:
+        json.dump(anno, f)
+    return anno_path, img_dir + "/"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    ap.add_argument("--eval_iter", type=int, default=100)
+    ap.add_argument("--eval_size", type=int, default=320)
+    ap.add_argument("--out_dir", default="/tmp/soak")
+    ap.add_argument("--classes", type=int, default=6)
+    ap.add_argument("--n_images", type=int, default=64)
+    ap.add_argument("--use_gpu", default="1")
+    ap.add_argument("--skip_warmup", action="store_true")
+    ap.add_argument("--sizes", default="",
+                    help="comma list overriding the 10 production buckets "
+                         "(CPU smoke tests)")
+    args = ap.parse_args()
+    if args.use_gpu in ("0", "false", "False"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from configs import PPYOLO_2x_Config
+    from tools.warmup_shapes import warmup
+    import train as train_mod
+
+    sizes = ([int(s) for s in args.sizes.split(",") if s] or SIZES_10)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    anno_path, img_dir = make_dataset(args.out_dir, args.n_images,
+                                      args.classes, rng)
+
+    cfg = PPYOLO_2x_Config()
+    cfg.num_classes = args.classes
+    cfg.head = dict(cfg.head, num_classes=args.classes)
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=args.classes)
+    cfg.train_path = anno_path
+    cfg.val_path = anno_path
+    cfg.train_pre_path = img_dir
+    cfg.val_pre_path = img_dir
+    cfg.randomShape = dict(sizes=list(sizes), random_inter=True)
+    steps_per_epoch = max(args.n_images // args.batch, 1)
+    cfg.train_cfg = dict(
+        cfg.train_cfg, batch_size=args.batch, max_iters=args.iters,
+        save_iter=max(args.iters // 2, 1), eval_iter=args.eval_iter,
+        model_path="nonexistent.npz", precision=args.precision,
+        # mixup ON for the whole soak (the production window is epochs
+        # 0..N-final; here every step is inside it)
+        mixup_epoch=10 ** 9, log_iter=1)
+    cfg.eval_cfg = dict(cfg.eval_cfg, target_size=args.eval_size,
+                        eval_batch_size=args.batch, draw_image=False,
+                        model_path="nonexistent.npz")
+    # demo-scale LR schedule: the production 4000-step LinearWarmup would
+    # keep LR ~0 for the whole soak (CLAUDE.md r3 lesson)
+    cfg.learningRate = dict(cfg.learningRate,
+                            LinearWarmup=dict(start_factor=0.0,
+                                              steps=min(100, args.iters // 4)))
+    cfg.use_ema = True
+
+    # ---- phase A: AOT warmup of every bucket (one process, sequential)
+    t_warm0 = time.time()
+    warm_times = {}
+    if not args.skip_warmup:
+        warm_times = warmup(cfg, sizes=sizes, scan_steps=1)
+    t_warm = time.time() - t_warm0
+
+    # ---- phase B: the real trainer over the full recipe
+    weights_dir = os.path.join(args.out_dir, "weights")
+    metrics_path = os.path.join(weights_dir, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        os.remove(metrics_path)
+    t_train0 = time.time()
+    train_mod.run_training(cfg, ndev=1, weights_dir=weights_dir)
+    t_train = time.time() - t_train0
+
+    # ---- phase C: per-bucket table from metrics.jsonl
+    rows = [json.loads(l) for l in open(metrics_path)]
+    steps = [r for r in rows if "size" in r]
+    evals = [r for r in rows if "box_ap" in r]
+    by_size = defaultdict(list)
+    for r in steps:
+        by_size[r["size"]].append(r)
+    print(f"\nwarmup: {t_warm:.0f}s total "
+          f"({', '.join(f'{s}:{t:.0f}s' for s, t in warm_times.items())})")
+    print(f"train: {args.iters} iters in {t_train:.0f}s "
+          f"({len(evals)} periodic evals, "
+          f"ap={[round(e['box_ap'], 3) for e in evals]})")
+    print(f"{'size':>6}{'steps':>7}{'first_s':>9}{'median_s':>10}"
+          f"{'max_s':>8}{'mfu':>7}")
+    worst_first = 0.0
+    for s in sorted(by_size):
+        rs = by_size[s]
+        ts = [r["step_s"] for r in rs]
+        mfus = [r["mfu"] for r in rs if r.get("mfu")]
+        worst_first = max(worst_first, ts[0])
+        print(f"{s:>6}{len(rs):>7}{ts[0]:>9.2f}{np.median(ts):>10.3f}"
+              f"{max(ts):>8.2f}"
+              f"{(np.mean(mfus) if mfus else float('nan')):>7.1%}")
+    missing = [s for s in sizes if s not in by_size]
+    ok = worst_first < 60.0 and not missing
+    print(f"\nall {len(sizes)} buckets seen: {not missing} (missing={missing}); "
+          f"worst first-step {worst_first:.1f}s "
+          f"{'< 60s: NO fresh post-warmup recompiles' if ok else 'FAIL'}")
+    print(json.dumps({
+        "metric": "soak_recipe", "ok": bool(ok),
+        "warmup_total_s": round(t_warm, 1),
+        "warmup_per_bucket_s": {str(k): round(v, 1)
+                                for k, v in warm_times.items()},
+        "train_total_s": round(t_train, 1),
+        "buckets_seen": sorted(by_size),
+        "worst_first_step_s": round(worst_first, 2),
+        "median_step_s": {str(s): round(float(np.median(
+            [r["step_s"] for r in by_size[s]])), 3) for s in sorted(by_size)},
+        "evals": [round(e["box_ap"], 4) for e in evals],
+    }))
+
+
+if __name__ == "__main__":
+    main()

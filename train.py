@@ -230,11 +230,12 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
             flops_by_shape[shp] = f * scan_steps if f else f
         return flops_by_shape[shp]
 
+    log_every = int(tc.get("log_iter", 20))  # 1 = log every step (soak runs)
     while True:
         t0 = time.time()
         rng, sub = jax.random.split(rng)
         device_batch, nimg = next(unit_iter)
-        will_log = (it + scan_steps) % 20 < scan_steps
+        will_log = (it + scan_steps) % log_every < scan_steps
         flops = unit_flops(device_batch, sub) if will_log else None
         if scan_steps > 1:
             state, losses = multi_fn(state, device_batch, sub)
@@ -263,6 +264,8 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                 with open(metrics_path, "a") as mf:
                     mf.write(json.dumps({
                         "iter": it, "time": time.time(), **losses,
+                        "size": int(device_batch["image"].shape[-2]),
+                        "step_s": round(time.time() - t0, 4),
                         "imgs_per_sec": round(spd, 2),
                         "tflops": (round(flops / unit_s / 1e12, 3)
                                    if flops else None),
