@@ -21,9 +21,44 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import contextvars as _contextvars
+
 from ..ops.module import Ctx, Module, next_uid
 from ..ops.conv import ConvNormAct
-from ..ops.blocks import coord_conv, spp, drop_block, upsample_nearest_2x
+from ..ops.blocks import (coord_conv, coord_planes, spp, spp_parts,
+                          drop_block, upsample_nearest_2x)
+
+# Virtual-concat head decomposition (ops/conv.py::ConvNormAct.apply_parts):
+#   auto  — "inner" for eval-mode bf16 (the serving path, same gate as the
+#           fused Pallas stem), off otherwise (fp32 goldens keep the fused
+#           conv's summation order bitwise)
+#   inner — decompose the in-block concats (CoordConv +2ch, SPP 4-way) but
+#           MATERIALIZE the cross-level route||backbone concat.  TPU A/B
+#           (r4 probe, b8 scan-32): the route split alone is a measured
+#           LOSS (-9.6% on coordless r18vd@608 where it is the only
+#           decomposition) while coord/SPP virtualization wins, so auto
+#           takes this mode.
+#   on    — decompose everything incl. the route concat (A/B benching).
+#   off   — force the materialized-concat path.
+# ContextVar so concurrent tracing in another thread can't observe a
+# different override mid-trace (same rationale as ops/conv.py::DCN_IMPL).
+HEAD_DECOMPOSE = _contextvars.ContextVar("HEAD_DECOMPOSE", default="auto")
+
+
+class head_decompose:
+    """Context manager pinning the head virtual-concat mode during tracing."""
+
+    def __init__(self, name: str):
+        assert name in ("auto", "on", "off", "inner"), name
+        self.name = name
+
+    def __enter__(self):
+        self._token = HEAD_DECOMPOSE.set(self.name)
+        return self
+
+    def __exit__(self, *exc):
+        HEAD_DECOMPOSE.reset(self._token)
+        return False
 from ..ops.yolo_box import yolo_box_serving
 from ..ops.matrix_nms import matrix_nms, multiclass_nms
 from .resnet_vd import _Composite
@@ -103,22 +138,44 @@ class DetectionBlock(_Composite):
             "tip_layers": {"1": self.tip_conv.param_policy()},
         }
 
-    def apply(self, params, x, ctx: Ctx):
+    def apply(self, params, x, ctx: Ctx, decompose: bool = False):
+        """``x`` may be a list of channel parts (virtual concat) when
+        ``decompose`` — convs consume it via ``apply_parts`` and the concat
+        tensors (route||feat, CoordConv +2ch, SPP 4-way) never materialize.
+        The value collapses back to a single tensor at every conv output.
+        """
         for kind, key in self.seq:
             if kind == "coord":
-                x = coord_conv(x) if self.coord else x
+                if self.coord:
+                    if decompose:
+                        ps = x if isinstance(x, list) else [x]
+                        h, w = ps[0].shape[1:3]
+                        x = ps + [coord_planes(h, w, ps[0].dtype)]
+                    else:
+                        x = coord_conv(x)
             elif kind == "conv":
-                x = self.layer_children[key].apply(params["layers"][key], x, ctx)
+                m, p = self.layer_children[key], params["layers"][key]
+                x = (m.apply_parts(p, x, ctx) if isinstance(x, list)
+                     else m.apply(p, x, ctx))
             elif kind == "spp":
-                x = spp(x)
+                x = spp_parts(x) if decompose else spp(x)
             elif kind == "drop":
                 if ctx.train:
                     x = drop_block(x, ctx.layer_rng(key),
                                    block_size=self.block_size,
                                    keep_prob=self.keep_prob)
         route = x
-        tip = coord_conv(route) if self.coord else route
-        tip = self.tip_conv.apply(params["tip_layers"]["1"], tip, ctx)
+        if self.coord:
+            if decompose:
+                h, w = route.shape[1:3]
+                tip = self.tip_conv.apply_parts(
+                    params["tip_layers"]["1"],
+                    [route, coord_planes(h, w, route.dtype)], ctx)
+            else:
+                tip = self.tip_conv.apply(params["tip_layers"]["1"],
+                                          coord_conv(route), ctx)
+        else:
+            tip = self.tip_conv.apply(params["tip_layers"]["1"], route, ctx)
         return route, tip
 
 
@@ -238,13 +295,21 @@ class YOLOv3Head(_Composite):
         Returns raw per-level NHWC maps, level 0 = coarsest (stride 32).
         """
         blocks = body_feats[::-1][: self.n_levels]
+        mode = HEAD_DECOMPOSE.get()
+        if mode == "auto":
+            mode = ("inner" if not ctx.train
+                    and blocks[0].dtype == jnp.bfloat16 else "off")
+        route_decomp = mode == "on"
+        inner_decomp = mode in ("on", "inner")
         outputs = []
         route = None
         for i, block in enumerate(blocks):
             if i > 0:
-                block = jnp.concatenate([route, block], axis=-1)
+                block = ([route, block] if route_decomp
+                         else jnp.concatenate([route, block], axis=-1))
             route, tip = self.det_blocks[i].apply(
-                params["detection_blocks"][str(i)], block, ctx)
+                params["detection_blocks"][str(i)], block, ctx,
+                decompose=inner_decomp)
             outputs.append(self.out_convs[i].apply(
                 params["yolo_output_convs"][str(i)], tip, ctx))
             if i < self.n_levels - 1:

@@ -51,26 +51,41 @@ def upsample_nearest_2x(x):
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
+def coord_planes(h: int, w: int, dtype):
+    """The CoordConv coordinate planes as one batch-1 [1,h,w,2] tensor.
+
+    Values identical to the channels ``coord_conv`` appends; batch-1 so a
+    decomposed conv over them broadcasts instead of materializing the
+    [N,H,W,C+2] concat (ops/conv.py::ConvNormAct.apply_parts).
+    """
+    gx = jnp.arange(w, dtype=dtype) / (w - 1) * 2.0 - 1.0
+    gy = jnp.arange(h, dtype=dtype) / (h - 1) * 2.0 - 1.0
+    gx = jnp.broadcast_to(gx[None, None, :, None], (1, h, w, 1))
+    gy = jnp.broadcast_to(gy[None, :, None, None], (1, h, w, 1))
+    return jnp.concatenate([gx, gy], axis=-1)
+
+
 def coord_conv(x):
     """Append normalized x/y coordinate channels (reference custom_layers.py:256-272).
 
     x-channel varies along W in [-1, 1]; y-channel along H.
     """
     n, h, w, _ = x.shape
-    gx = jnp.arange(w, dtype=x.dtype) / (w - 1) * 2.0 - 1.0
-    gy = jnp.arange(h, dtype=x.dtype) / (h - 1) * 2.0 - 1.0
-    gx = jnp.broadcast_to(gx[None, None, :, None], (n, h, w, 1))
-    gy = jnp.broadcast_to(gy[None, :, None, None], (n, h, w, 1))
-    return jnp.concatenate([x, gx, gy], axis=-1)
+    g = jnp.broadcast_to(coord_planes(h, w, x.dtype), (n, h, w, 2))
+    return jnp.concatenate([x, g], axis=-1)
+
+
+def spp_parts(x, seq: str = "asc"):
+    """The SPP pyramid as a list (virtual concat) — see ``spp``."""
+    x2 = max_pool2d(x, 5, 1, 2)
+    x3 = max_pool2d(x, 9, 1, 4)
+    x4 = max_pool2d(x, 13, 1, 6)
+    return [x, x2, x3, x4] if seq == "asc" else [x4, x3, x2, x]
 
 
 def spp(x, seq: str = "asc"):
     """Spatial pyramid pooling: concat [x, mp5, mp9, mp13] (custom_layers.py:275-290)."""
-    x2 = max_pool2d(x, 5, 1, 2)
-    x3 = max_pool2d(x, 9, 1, 4)
-    x4 = max_pool2d(x, 13, 1, 6)
-    parts = [x, x2, x3, x4] if seq == "asc" else [x4, x3, x2, x]
-    return jnp.concatenate(parts, axis=-1)
+    return jnp.concatenate(spp_parts(x, seq), axis=-1)
 
 
 def drop_block(x, rng: jax.Array, *, block_size: int = 3, keep_prob: float = 0.9,

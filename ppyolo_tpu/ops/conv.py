@@ -311,6 +311,9 @@ class ConvNormAct(Module):
                 padding=self.padding,
                 bias=c.get("bias"),
             )
+        return self._norm_act(params, x, ctx)
+
+    def _norm_act(self, params: Dict[str, Any], x, ctx: Ctx):
         if self.norm in ("bn", "sync_bn"):
             bn = params["bn"]
             axis = ctx.axis_name if self.norm == "sync_bn" else None
@@ -338,6 +341,50 @@ class ConvNormAct(Module):
         elif self.norm == "affine_channel":
             x = x * params["af"]["weight"] + params["af"]["bias"]
         return apply_act(x, self.act)
+
+    def apply_parts(self, params: Dict[str, Any], parts, ctx: Ctx):
+        """Apply over a VIRTUAL channel concat: ``parts`` is a list whose
+        channels sum to ``cin``; the concat is never materialized.
+
+        A conv is linear over its input channels and zero-padding pads every
+        channel identically, so ``conv(concat(parts)) == Σ conv(part_i,
+        W[:, :, off_i:off_i+c_i, :])`` exactly (up to fp summation order).
+        This removes the head's concat relayouts (route||backbone feed,
+        CoordConv's +2 channels, SPP's 4-way pyramid — reference
+        head.py:389, custom_layers.py:272,290) — the [N,H,W,ΣC] tensor
+        the concat would write and the conv re-read never hits HBM.
+        Batch-1 parts (the CoordConv coordinate planes) broadcast through
+        the sum instead of being tiled batch-wide.
+
+        Serving-path only (models/head.py gates to eval-mode bf16, the
+        same gate as the fused Pallas stem): summation order differs from
+        the single fused conv, so the fp32 golden path keeps the concat.
+        int8 weights and DCN fall back to the materialized form.
+        """
+        c = params["conv"]
+        w = c.get("weight")
+        if len(parts) == 1:
+            return self.apply(params, parts[0], ctx)
+        if self.use_dcn or w is None or w.dtype == jnp.int8:
+            n = max(p.shape[0] for p in parts)
+            full = [jnp.broadcast_to(p, (n,) + p.shape[1:]) for p in parts]
+            return self.apply(params, jnp.concatenate(full, axis=-1), ctx)
+        if ctx.record is not None:
+            # int8 calibration: amax of the virtual concat == max of the
+            # per-part amaxes
+            ctx.record[self.name] = jnp.max(jnp.stack(
+                [jnp.max(jnp.abs(p.astype(jnp.float32))) for p in parts]))
+        off, y = 0, None
+        for p in parts:
+            pc = p.shape[-1]
+            yi = conv2d(p, lax.slice_in_dim(w, off, off + pc, axis=2),
+                        stride=self.stride, padding=self.padding)
+            y = yi if y is None else y + yi
+            off += pc
+        assert off == self.cin, (off, self.cin)
+        if c.get("bias") is not None:
+            y = y + c["bias"]
+        return self._norm_act(params, y, ctx)
 
     # -- optimizer policy ---------------------------------------------------
     def param_policy(self) -> Dict[str, Any]:

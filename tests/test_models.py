@@ -164,3 +164,88 @@ def test_detector_honors_is_scale_false():
     out_f32 = det.predict_batch(x, sizes)
     # device normalize vs host numpy normalize reassociate fp ops slightly
     np.testing.assert_allclose(out_u8, out_f32, atol=1e-3, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Head virtual-concat decomposition (models/head.py::HEAD_DECOMPOSE,
+# ops/conv.py::ConvNormAct.apply_parts): conv(concat(parts)) == Σ conv(part)
+# exactly up to fp32 summation order, so forced-on must match the concat
+# path to reassociation noise on BOTH configs (2x exercises CoordConv+SPP+
+# route concat; r18vd the coordless route concat), and the auto gate must
+# stay OFF for fp32/train so the golden fixtures keep the fused conv.
+def test_head_decompose_matches_concat_path():
+    from ppyolo_tpu.models.head import head_decompose
+
+    for cfg_cls, size in ((PPYOLO_2x_Config, 96), (PPYOLO_r18vd_Config, 96)):
+        cfg, model, params = build(cfg_cls)
+        img = jnp.asarray(
+            np.random.RandomState(0).rand(2, size, size, 3), jnp.float32)
+        sz = jnp.asarray([[90.0, 120.0]] * 2)
+        with head_decompose("off"):
+            base = np.asarray(model.predict(params, img, sz, Ctx(train=False)))
+        for mode in ("on", "inner"):
+            with head_decompose(mode):
+                dec = np.asarray(
+                    model.predict(params, img, sz, Ctx(train=False)))
+            # detections: scores may shift by reassociation noise; boxes/
+            # labels must agree to fp32 tolerance
+            np.testing.assert_allclose(dec, base, rtol=1e-4, atol=1e-3)
+
+        feats = model.backbone.apply(params["backbone"], img, Ctx(train=False))
+        with head_decompose("off"):
+            ra = model.head.get_outputs(params["head"], list(feats),
+                                        Ctx(train=False))
+        for mode in ("on", "inner"):
+            with head_decompose(mode):
+                rb = model.head.get_outputs(params["head"], list(feats),
+                                            Ctx(train=False))
+            for a, b in zip(ra, rb):
+                a, b = np.asarray(a), np.asarray(b)
+                rel = np.max(np.abs(a - b)) / max(np.max(np.abs(a)), 1e-9)
+                assert rel < 1e-5, rel
+
+
+def test_head_decompose_auto_gate_is_off_for_fp32():
+    # The auto gate keys on eval-mode bf16: an fp32 eval forward must take
+    # the concat path BITWISE (golden-fixture protection).
+    cfg, model, params = build(PPYOLO_r18vd_Config)
+    from ppyolo_tpu.models.head import head_decompose
+
+    img = jnp.asarray(np.random.RandomState(1).rand(1, 96, 96, 3), jnp.float32)
+    sz = jnp.asarray([[96.0, 96.0]])
+    auto = np.asarray(model.predict(params, img, sz, Ctx(train=False)))
+    with head_decompose("off"):
+        off = np.asarray(model.predict(params, img, sz, Ctx(train=False)))
+    assert np.array_equal(auto, off)
+
+
+def test_apply_parts_single_and_fallback():
+    from ppyolo_tpu.ops.conv import ConvNormAct
+
+    m = ConvNormAct(10, 4, 3, norm="bn", act="leaky", name="m")
+    p = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 10), jnp.float32)
+    full = m.apply(p, x, Ctx(train=False))
+    # single part delegates to apply (bitwise)
+    one = m.apply_parts(p, [x], Ctx(train=False))
+    assert np.array_equal(np.asarray(full), np.asarray(one))
+    # multi-part (incl. a batch-1 broadcast part) matches to fp tolerance
+    parts = [x[..., :6], jnp.broadcast_to(x[:1, ..., 6:], (1, 8, 8, 4))]
+    x_b = jnp.concatenate([x[..., :6],
+                           jnp.broadcast_to(x[:1, ..., 6:], (2, 8, 8, 4))],
+                          axis=-1)
+    dec = m.apply_parts(p, parts, Ctx(train=False))
+    ref = m.apply(p, x_b, Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # int8 weights fall back to the materialized concat path (bitwise)
+    p8 = jax.tree.map(lambda v: v, p)
+    p8["conv"] = dict(p8["conv"])
+    w = np.asarray(p["conv"]["weight"])
+    s = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    p8["conv"]["weight"] = jnp.asarray(
+        np.clip(np.round(w / s), -127, 127).astype(np.int8))
+    p8["conv"]["weight_scale"] = jnp.asarray(s.astype(np.float32))
+    q_dec = m.apply_parts(p8, parts, Ctx(train=False))
+    q_ref = m.apply(p8, x_b, Ctx(train=False))
+    assert np.array_equal(np.asarray(q_dec), np.asarray(q_ref))
