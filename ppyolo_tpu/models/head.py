@@ -21,12 +21,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-import contextvars as _contextvars
-
-from ..ops.module import Ctx, Module, next_uid
+from ..ops.module import Ctx, Module, next_uid, make_contextvar_override
 from ..ops.conv import ConvNormAct
 from ..ops.blocks import (coord_conv, coord_planes, spp, spp_parts,
                           drop_block, upsample_nearest_2x)
+from ..ops.yolo_box import yolo_box_serving
+from ..ops.matrix_nms import matrix_nms, multiclass_nms
+from .resnet_vd import _Composite
 
 # Virtual-concat head decomposition (ops/conv.py::ConvNormAct.apply_parts):
 #   auto  — "inner" for eval-mode bf16 (the serving path, same gate as the
@@ -40,28 +41,8 @@ from ..ops.blocks import (coord_conv, coord_planes, spp, spp_parts,
 #           takes this mode.
 #   on    — decompose everything incl. the route concat (A/B benching).
 #   off   — force the materialized-concat path.
-# ContextVar so concurrent tracing in another thread can't observe a
-# different override mid-trace (same rationale as ops/conv.py::DCN_IMPL).
-HEAD_DECOMPOSE = _contextvars.ContextVar("HEAD_DECOMPOSE", default="auto")
-
-
-class head_decompose:
-    """Context manager pinning the head virtual-concat mode during tracing."""
-
-    def __init__(self, name: str):
-        assert name in ("auto", "on", "off", "inner"), name
-        self.name = name
-
-    def __enter__(self):
-        self._token = HEAD_DECOMPOSE.set(self.name)
-        return self
-
-    def __exit__(self, *exc):
-        HEAD_DECOMPOSE.reset(self._token)
-        return False
-from ..ops.yolo_box import yolo_box_serving
-from ..ops.matrix_nms import matrix_nms, multiclass_nms
-from .resnet_vd import _Composite
+HEAD_DECOMPOSE, head_decompose = make_contextvar_override(
+    "HEAD_DECOMPOSE", ("auto", "on", "off", "inner"), "auto")
 
 
 class DetectionBlock(_Composite):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .module import Ctx, Module, ParamPolicy
+from .module import Ctx, Module, ParamPolicy, make_contextvar_override
 from .deform_conv import deform_conv2d
 
 BN_EPS = 1e-5
@@ -35,25 +35,8 @@ BN_MOMENTUM = 0.1  # torch convention: running = (1-m)*running + m*batch
 # Stored in a ContextVar so concurrent tracing in another thread (e.g. the
 # in-training eval detector while an export runs) can't observe a different
 # thread's override mid-trace.
-import contextvars as _contextvars
-
-DCN_IMPL = _contextvars.ContextVar("DCN_IMPL", default="auto")
-
-
-class dcn_impl:
-    """Context manager pinning the DCN implementation during tracing."""
-
-    def __init__(self, name: str):
-        assert name in ("auto", "pallas", "onehot", "gather"), name
-        self.name = name
-
-    def __enter__(self):
-        self._token = DCN_IMPL.set(self.name)
-        return self
-
-    def __exit__(self, *exc):
-        DCN_IMPL.reset(self._token)
-        return False
+DCN_IMPL, dcn_impl = make_contextvar_override(
+    "DCN_IMPL", ("auto", "pallas", "onehot", "gather"), "auto")
 
 
 def mish(x):
@@ -377,13 +360,24 @@ class ConvNormAct(Module):
         off, y = 0, None
         for p in parts:
             pc = p.shape[-1]
-            yi = conv2d(p, lax.slice_in_dim(w, off, off + pc, axis=2),
-                        stride=self.stride, padding=self.padding)
+            # fp32 partials: the MXU accumulates each conv in fp32 anyway;
+            # asking for f32 output keeps the cross-part sum at ONE final
+            # bf16 rounding (like the materialized concat) instead of one
+            # per part.  This path is serving-only (never differentiated),
+            # so preferred_element_type is safe here — cf. conv2d's
+            # transpose-rule note for the general train path.
+            yi = lax.conv_general_dilated(
+                p, lax.slice_in_dim(w, off, off + pc, axis=2),
+                window_strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
             y = yi if y is None else y + yi
             off += pc
         assert off == self.cin, (off, self.cin)
         if c.get("bias") is not None:
-            y = y + c["bias"]
+            y = y + c["bias"].astype(jnp.float32)
+        y = y.astype(parts[0].dtype)
         return self._norm_act(params, y, ctx)
 
     # -- optimizer policy ---------------------------------------------------

@@ -129,3 +129,32 @@ def next_uid() -> int:
     """Process-global static id generator for stochastic layers."""
     _UID_COUNTER[0] += 1
     return _UID_COUNTER[0]
+
+
+def make_contextvar_override(name: str, allowed: tuple, default: str):
+    """A (ContextVar, context-manager) pair for trace-time mode switches.
+
+    ContextVar (not a module global) so concurrent tracing in another
+    thread can't observe a different override mid-trace.  Used for the
+    DCN implementation switch (ops/conv.py::dcn_impl) and the head
+    virtual-concat mode (models/head.py::head_decompose).
+    """
+    import contextvars
+
+    var = contextvars.ContextVar(name, default=default)
+
+    class _override:
+        def __init__(self, value: str):
+            assert value in allowed, (value, allowed)
+            self.value = value
+
+        def __enter__(self):
+            self._token = var.set(self.value)
+            return self
+
+        def __exit__(self, *exc):
+            var.reset(self._token)
+            return False
+
+    _override.__name__ = _override.__qualname__ = name.lower() + "_override"
+    return var, _override

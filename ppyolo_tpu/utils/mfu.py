@@ -53,9 +53,14 @@ def custom_call_flops(fn, *args, **kwargs) -> list:
     that XLA's analysis already counts — only ``interpreted=False`` entries
     should be ADDED on top of the XLA number (``program_flops`` does this).
     """
+    jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
+    return _pallas_calls(jaxpr)
+
+
+def _pallas_calls(closed_jaxpr) -> list:
+    """Walk an already-traced (closed) jaxpr for pallas_call equations."""
     from jax.extend import core as jex_core
 
-    jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
     CJ, J = jex_core.ClosedJaxpr, jex_core.Jaxpr
     found = []
 
@@ -78,7 +83,7 @@ def custom_call_flops(fn, *args, **kwargs) -> list:
                     elif isinstance(u, J):
                         walk(u)
 
-    walk(jaxpr.jaxpr)
+    walk(closed_jaxpr.jaxpr)
     return found
 
 
@@ -97,8 +102,11 @@ def program_flops(fn, *args, **kwargs) -> Optional[float]:
         return float(flops) if flops else None
 
     try:
-        jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
-        lowered = jitted.lower(*args, **kwargs)
+        jitted = fn if hasattr(fn, "trace") else jax.jit(fn)
+        # ONE trace serves both consumers (the host has a single core; the
+        # full train program used to be traced twice per new shape here)
+        traced = jitted.trace(*args, **kwargs)
+        lowered = traced.lower()
         out = _flops(lowered.cost_analysis())
         if out is None:
             # some backends (e.g. the axon TPU plugin) only expose cost
@@ -108,8 +116,7 @@ def program_flops(fn, *args, **kwargs) -> Optional[float]:
             out = _flops(lowered.compile().cost_analysis())
         if out is not None:
             try:
-                out += sum(f for _, f, interp in
-                           custom_call_flops(fn, *args, **kwargs)
+                out += sum(f for _, f, interp in _pallas_calls(traced.jaxpr)
                            if not interp)
             except Exception:
                 pass  # registry is additive-only; never lose the XLA number

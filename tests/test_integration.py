@@ -14,35 +14,13 @@ pytestmark = pytest.mark.slow
 
 
 def _make_dataset(root, n_images=6, n_classes=3, size=96):
-    import cv2
+    from ppyolo_tpu.data.synthetic import make_synthetic_coco
 
-    img_dir = os.path.join(root, "imgs")
-    os.makedirs(img_dir, exist_ok=True)
-    rng = np.random.RandomState(0)
-    images, annos = [], []
-    aid = 1
-    for i in range(n_images):
-        img = rng.randint(40, 200, (size, size, 3)).astype(np.uint8)
-        # draw one bright square object
-        cls = i % n_classes
-        x, y, w, h = 20 + 8 * (i % 3), 20 + 5 * (i % 4), 36, 30
-        color = [(255, 0, 0), (0, 255, 0), (0, 0, 255)][cls]
-        img[y:y + h, x:x + w] = color
-        fname = f"im{i}.jpg"
-        cv2.imwrite(os.path.join(img_dir, fname), img)
-        images.append({"id": i + 1, "file_name": fname,
-                       "width": size, "height": size})
-        annos.append({"id": aid, "image_id": i + 1, "category_id": cls + 1,
-                      "bbox": [float(x), float(y), float(w), float(h)],
-                      "area": float(w * h), "iscrowd": 0})
-        aid += 1
-    anno = {"images": images, "annotations": annos,
-            "categories": [{"id": c + 1, "name": f"c{c}"}
-                           for c in range(n_classes)]}
-    anno_path = os.path.join(root, "train.json")
-    with open(anno_path, "w") as f:
-        json.dump(anno, f)
-    return anno_path, img_dir + "/"
+    return make_synthetic_coco(root, n_images, n_classes,
+                               np.random.RandomState(0),
+                               image_sizes=((size, size),),
+                               max_objects=1,
+                               box_range=(size // 4, size // 3))
 
 
 class ItCfg(PPYOLO_r18vd_Config):

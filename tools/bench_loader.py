@@ -10,7 +10,10 @@ synthetic image set matching COCO val2017's size distribution, attributes
 wall time per transform, and prints how many host cores keep one chip fed.
 
 Usage:  python tools/bench_loader.py [--n_images 48] [--batches 12]
-        [--batch_size 16] [--threads 0] [--image_dir DIR]
+        [--batch_size 16] [--image_dir DIR]
+
+Single-threaded by design: the metric is img/s-per-CORE (loader workers
+are independent, so N cores scale linearly; see DESIGN.md host sizing).
 
 One JSON summary line is printed last (machine-readable).
 """
@@ -97,8 +100,6 @@ def main():
     ap.add_argument("--n_images", type=int, default=48)
     ap.add_argument("--batches", type=int, default=12)
     ap.add_argument("--batch_size", type=int, default=16)
-    ap.add_argument("--threads", type=int, default=0,
-                    help="num_threads for train_batches (0 = single thread)")
     ap.add_argument("--image_dir", type=str, default=None,
                     help="use real images instead of synthetic ones")
     ap.add_argument("--device_img_s", type=float, default=321.0,
@@ -126,9 +127,10 @@ def main():
     records = make_records(paths, rng)
 
     cfg = PPYOLO_2x_Config()
+    # deliberately single-threaded: the metric is img/s-per-core (workers
+    # are independent, so N cores scale linearly — DESIGN.md host sizing)
     cfg.train_cfg = dict(cfg.train_cfg, batch_size=args.batch_size,
-                         mixup_epoch=10 ** 9,  # production window: mixup ON
-                         num_threads=args.threads)
+                         mixup_epoch=10 ** 9)  # production window: mixup ON
 
     sink = defaultdict(float)
     ops = [TimedOp(op, sink) for op in L.build_sample_transforms(cfg)]
@@ -176,8 +178,9 @@ def main():
     print(f"\nhost pipeline: {img_s:.1f} img/s/core; one chip at "
           f"{args.device_img_s:.0f} img/s needs ~{cores:.1f} cores "
           f"({int(np.ceil(cores))} rounded up)")
-    worst = rows[0] if rows and rows[0][1] > max(t_assemble, t_getsamples) \
-        else ("assemble", t_assemble)
+    worst = max(rows + [("get_samples(deepcopy)", t_getsamples),
+                        ("assemble(resize+pack)", t_assemble)],
+                key=lambda kv: kv[1])
     print(json.dumps({
         "metric": "loader_imgs_per_sec_per_core", "value": round(img_s, 2),
         "unit": "img/s", "cores_per_chip": round(cores, 2),

@@ -30,40 +30,9 @@ SIZES_10 = [320, 352, 384, 416, 448, 480, 512, 544, 576, 608]
 def make_dataset(root, n_images, n_classes, rng):
     """Synthetic COCO dataset with drawn square objects (the integration-test
     recipe at a larger scale: objects ARE learnable, so losses must fall)."""
-    import cv2
+    from ppyolo_tpu.data.synthetic import make_synthetic_coco
 
-    img_dir = os.path.join(root, "imgs")
-    os.makedirs(img_dir, exist_ok=True)
-    images, annos = [], []
-    aid = 1
-    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
-               (255, 0, 255), (0, 255, 255)]
-    for i in range(n_images):
-        h, w = [(480, 640), (640, 480), (512, 512)][i % 3]
-        img = rng.randint(40, 200, (h, w, 3)).astype(np.uint8)
-        n_obj = rng.randint(1, 4)
-        for j in range(n_obj):
-            cls = rng.randint(0, min(n_classes, len(palette)))
-            bw, bh = rng.randint(60, 160), rng.randint(60, 160)
-            x = rng.randint(0, w - bw)
-            y = rng.randint(0, h - bh)
-            img[y:y + bh, x:x + bw] = palette[cls]
-            annos.append({"id": aid, "image_id": i + 1,
-                          "category_id": cls + 1,
-                          "bbox": [float(x), float(y), float(bw), float(bh)],
-                          "area": float(bw * bh), "iscrowd": 0})
-            aid += 1
-        fname = f"im{i:04d}.jpg"
-        cv2.imwrite(os.path.join(img_dir, fname), img)
-        images.append({"id": i + 1, "file_name": fname,
-                       "width": w, "height": h})
-    anno = {"images": images, "annotations": annos,
-            "categories": [{"id": c + 1, "name": f"c{c}"}
-                           for c in range(n_classes)]}
-    anno_path = os.path.join(root, "train.json")
-    with open(anno_path, "w") as f:
-        json.dump(anno, f)
-    return anno_path, img_dir + "/"
+    return make_synthetic_coco(root, n_images, n_classes, rng)
 
 
 def main():
@@ -120,8 +89,9 @@ def main():
     # demo-scale LR schedule: the production 4000-step LinearWarmup would
     # keep LR ~0 for the whole soak (CLAUDE.md r3 lesson)
     cfg.learningRate = dict(cfg.learningRate,
-                            LinearWarmup=dict(start_factor=0.0,
-                                              steps=min(100, args.iters // 4)))
+                            LinearWarmup=dict(
+                                start_factor=0.0,
+                                steps=max(1, min(100, args.iters // 4))))
     cfg.use_ema = True
 
     # ---- phase A: AOT warmup of every bucket (one process, sequential)

@@ -230,12 +230,14 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
             flops_by_shape[shp] = f * scan_steps if f else f
         return flops_by_shape[shp]
 
-    log_every = int(tc.get("log_iter", 20))  # 1 = log every step (soak runs)
+    # 1 = log every step (soak runs); <= 0 disables per-step logging
+    log_every = int(tc.get("log_iter", 20))
     while True:
         t0 = time.time()
         rng, sub = jax.random.split(rng)
         device_batch, nimg = next(unit_iter)
-        will_log = (it + scan_steps) % log_every < scan_steps
+        will_log = (log_every > 0
+                    and (it + scan_steps) % log_every < scan_steps)
         flops = unit_flops(device_batch, sub) if will_log else None
         if scan_steps > 1:
             state, losses = multi_fn(state, device_batch, sub)
