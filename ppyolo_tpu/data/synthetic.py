@@ -16,9 +16,21 @@ import os
 
 import numpy as np
 
-# class -> fill color; classes beyond the palette reuse it modulo
+# class -> fill color; classes beyond the base palette get a deterministic
+# distinct color from _class_color so EVERY configured class is drawable
+# (and therefore gets gt annotations) no matter how large n_classes is
 PALETTE = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
            (255, 255, 0), (255, 0, 255), (0, 255, 255)]
+
+
+def _class_color(cls):
+    if cls < len(PALETTE):
+        return PALETTE[cls]
+    # coprime strides over [40, 240) keep extra classes mutually distinct
+    # and away from the base palette's saturated corners
+    return ((37 * cls + 53) % 200 + 40,
+            (91 * cls + 17) % 200 + 40,
+            (151 * cls + 101) % 200 + 40)
 
 
 def make_synthetic_coco(root, n_images, n_classes, rng, *,
@@ -36,7 +48,6 @@ def make_synthetic_coco(root, n_images, n_classes, rng, *,
 
     img_dir = os.path.join(root, "imgs")
     os.makedirs(img_dir, exist_ok=True)
-    n_cls_drawable = min(n_classes, len(PALETTE))
     images, annos = [], []
     aid = 1
     for i in range(n_images):
@@ -44,12 +55,12 @@ def make_synthetic_coco(root, n_images, n_classes, rng, *,
         img = rng.randint(40, 200, (h, w, 3)).astype(np.uint8)
         n_obj = 1 if max_objects <= 1 else int(rng.randint(1, max_objects + 1))
         for _ in range(n_obj):
-            cls = (aid - 1) % n_cls_drawable
+            cls = (aid - 1) % n_classes
             bw = int(rng.randint(box_range[0], box_range[1] + 1))
             bh = int(rng.randint(box_range[0], box_range[1] + 1))
             x = int(rng.randint(0, w - bw))
             y = int(rng.randint(0, h - bh))
-            img[y:y + bh, x:x + bw] = PALETTE[cls]
+            img[y:y + bh, x:x + bw] = _class_color(cls)
             annos.append({"id": aid, "image_id": i + 1,
                           "category_id": cls + 1,
                           "bbox": [float(x), float(y), float(bw), float(bh)],

@@ -128,10 +128,13 @@ def _matrix_nms_single(
     new_scores = vals * decay
 
     keep = (new_scores >= post_threshold) & valid
-    final = jnp.where(keep, new_scores, -1.0)
+    # validity rides an explicit mask gathered through the final top-k (a
+    # -1.0/">0" pad-sentinel would silently drop kept detections whose
+    # decayed score is <= 0 under a negative post_threshold)
+    final = jnp.where(keep, new_scores, -jnp.inf)
     kk = min(keep_top_k, k)
     out_vals, out_idx = lax.top_k(final, kk)
-    out_keep = out_vals > 0.0
+    out_keep = keep[out_idx]
     out_boxes = jnp.where(out_keep[:, None], cand[out_idx], -1.0)
     out_labels = jnp.where(out_keep, labels[out_idx].astype(jnp.float32), -1.0)
     out_scores = jnp.where(out_keep, out_vals, -1.0)
@@ -187,10 +190,12 @@ def _multiclass_nms_single(boxes, scores, *, score_threshold, nms_threshold,
 
     keep, _, _ = lax.while_loop(cond, body,
                                 (valid, jnp.zeros((k,), bool), 0))
-    final = jnp.where(keep, vals, -1.0)
+    # same explicit-validity convention as _matrix_nms_single: kept rows
+    # with non-positive scores (negative score_threshold) must survive
+    final = jnp.where(keep, vals, -jnp.inf)
     kk = min(keep_top_k, k)
     out_vals, out_idx = lax.top_k(final, kk)
-    ok = out_vals > 0.0
+    ok = keep[out_idx]
     out_boxes = jnp.where(ok[:, None], cand[out_idx], -1.0)
     out_labels = jnp.where(ok, labels[out_idx].astype(jnp.float32), -1.0)
     out_scores = jnp.where(ok, out_vals, -1.0)

@@ -408,6 +408,26 @@ def test_matrix_nms_negative_threshold_matches_oracle():
     assert (out[len(ref):] == -1).all()
 
 
+def test_matrix_nms_negative_post_threshold_keeps_nonpositive_scores():
+    """A negative post_threshold must keep detections whose (decayed) score
+    is <= 0 — the r4 -1.0/'>0' pad-sentinel silently dropped them (ADVICE
+    r4); validity now rides an explicit mask through the final top-k."""
+    r = np.random.RandomState(7)
+    a, c = 32, 2
+    boxes = np.abs(r.randn(a, 4)).astype(np.float32) * 40
+    boxes[:, 2:] += boxes[:, :2] + 1
+    scores = (r.rand(a, c).astype(np.float32) * 0.5 - 0.45)  # ~90% negative
+    cfg = dict(score_threshold=-1.0, post_threshold=-0.5, nms_top_k=24,
+               keep_top_k=16, use_gaussian=False, nms_type="matrix_nms")
+    out = np.asarray(matrix_nms(jnp.array(boxes[None]),
+                                jnp.array(scores[None]), cfg))[0]
+    ref = _numpy_matrix_nms(boxes, scores, cfg)
+    # the oracle keeps rows with new >= post_threshold regardless of sign
+    assert (ref[:, 1] <= 0).any(), "fixture must exercise non-positive keeps"
+    np.testing.assert_allclose(out[:len(ref)], ref, rtol=1e-5, atol=1e-5)
+    assert (out[len(ref):] == -1).all()
+
+
 def test_matrix_nms_gaussian_and_empty():
     cfg = dict(score_threshold=0.5, post_threshold=0.5, nms_top_k=8,
                keep_top_k=4, use_gaussian=True, gaussian_sigma=2.0,

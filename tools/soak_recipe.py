@@ -116,7 +116,12 @@ def main():
     evals = [r for r in rows if "box_ap" in r]
     by_size = defaultdict(list)
     for r in steps:
-        by_size[r["size"]].append(r)
+        # "size" is [H, W] (r5+) or a bare int (older runs); buckets are
+        # square so collapse [s, s] back to s for the table
+        sz = r["size"]
+        if isinstance(sz, list):
+            sz = sz[0] if sz[0] == sz[1] else tuple(sz)
+        by_size[sz].append(r)
     print(f"\nwarmup: {t_warm:.0f}s total "
           f"({', '.join(f'{s}:{t:.0f}s' for s, t in warm_times.items())})")
     print(f"train: {args.iters} iters in {t_train:.0f}s "

@@ -266,7 +266,10 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
                 with open(metrics_path, "a") as mf:
                     mf.write(json.dumps({
                         "iter": it, "time": time.time(), **losses,
-                        "size": int(device_batch["image"].shape[-2]),
+                        # [H, W] of the NHWC batch (buckets are square
+                        # today, but don't assume it in the log)
+                        "size": [int(device_batch["image"].shape[1]),
+                                 int(device_batch["image"].shape[2])],
                         "step_s": round(time.time() - t0, 4),
                         "imgs_per_sec": round(spd, 2),
                         "tflops": (round(flops / unit_s / 1e12, 3)
