@@ -141,7 +141,8 @@ class BasicBlock(_Composite):
     """Two-conv residual block for ResNet18-vd (resnet_vd.py:224-267)."""
 
     def __init__(self, prefix, in_c, filters, norm, lr, stride=1, is_first=False,
-                 paddle_name="", freeze_norm=False, norm_decay=0.0):
+                 use_dcn=False, paddle_name="", freeze_norm=False,
+                 norm_decay=0.0):
         f1, f2 = filters
         self.is_first = is_first
         self.stride = stride
@@ -150,7 +151,8 @@ class BasicBlock(_Composite):
                                  lr_mult=lr, freeze_norm=freeze_norm,
                                  name=f"{prefix}.conv1"),
             "conv2": ConvNormAct(f1, f2, 3, stride=1, norm=norm, act=None,
-                                 lr_mult=lr, freeze_norm=freeze_norm,
+                                 use_dcn=use_dcn, lr_mult=lr,
+                                 freeze_norm=freeze_norm,
                                  name=f"{prefix}.conv2"),
         }
         self.children_["conv1"].paddle_name = f"{paddle_name}_branch2a"
@@ -273,14 +275,18 @@ class ResNet18Vd(_Composite):
         ]
         for stage, filters, in_c, stride in specs:
             lr = lr_mult_list[stage - 2]
+            # DCNv2 per stage (framework capability superset: the reference
+            # r18 config never enables it, but the block supports it — used
+            # by the mini-2x flagship-feature tests)
+            use_dcn = stage in dcn_v2_stages
             for b in range(2):
                 pn = f"res{stage}{_STAGE_LETTERS[b]}"
                 name = f"stage{stage}_{b}"
                 ch[name] = BasicBlock(
                     f"{prefix}.{name}", in_c if b == 0 else filters[1], filters,
                     norm, lr, stride=stride if b == 0 else 1,
-                    is_first=(stage == 2 and b == 0), paddle_name=pn,
-                    freeze_norm=freeze_norm)
+                    is_first=(stage == 2 and b == 0), use_dcn=use_dcn,
+                    paddle_name=pn, freeze_norm=freeze_norm)
         self.children_ = ch
         self._stage_blocks = {s: [f"stage{s}_0", f"stage{s}_1"] for s, _, _, _ in specs}
         if freeze_at:

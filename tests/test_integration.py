@@ -101,34 +101,44 @@ def test_training_metrics_jsonl(tmp_path):
     assert np.isfinite(row["total_loss"])
 
 
-def test_resume_is_equivalent_to_uninterrupted_run(tmp_path):
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_resume_is_equivalent_to_uninterrupted_run(tmp_path, ndev):
     """Crash+resume == uninterrupted run, BITWISE: full-state resume
     (params + momentum + EMA + step) must also restart the data pipeline
     (shuffle order, shape schedule) and LR from the restored step (r3
     review fix: start_iter previously followed only the model_path
     filename).  drop_block off -> the train step is rng-free, so 4 straight
-    iters and 2+2-with-resume must produce identical parameters."""
-    anno_path, img_dir = _make_dataset(str(tmp_path), n_images=6)
+    iters and 2+2-with-resume must produce identical parameters.
+
+    ndev=8 runs the same proof data-parallel over the virtual CPU mesh
+    (r4 VERDICT #1: the recovery guarantee was only demonstrated
+    single-device): checkpoint a mesh-sharded state, restore it into a
+    fresh mesh run, and require bitwise-identical params/momentum/EMA."""
+    # dataset size must be a multiple of the global batch for ndev=8 (an
+    # epoch-tail partial batch would not divide over the mesh)
+    anno_path, img_dir = _make_dataset(str(tmp_path),
+                                       n_images=8 if ndev > 1 else 6)
     from train import run_training
     from ppyolo_tpu.ops.module import flatten_tree
 
-    cfg_a = ItCfg(anno_path, img_dir, str(tmp_path))
-    cfg_a.train_cfg = dict(cfg_a.train_cfg, max_iters=4, save_iter=10**9,
-                           eval_iter=10**9)
-    state_a = run_training(cfg_a, ndev=1,
+    def mk(**tc):
+        cfg = ItCfg(anno_path, img_dir, str(tmp_path))
+        if ndev > 1:  # global batch must divide over the mesh
+            cfg.train_cfg = dict(cfg.train_cfg, batch_size=ndev)
+        cfg.train_cfg = dict(cfg.train_cfg, **tc)
+        return cfg
+
+    cfg_a = mk(max_iters=4, save_iter=10**9, eval_iter=10**9)
+    state_a = run_training(cfg_a, ndev=ndev,
                            weights_dir=str(tmp_path / "wa"))
 
-    cfg_b1 = ItCfg(anno_path, img_dir, str(tmp_path))
-    cfg_b1.train_cfg = dict(cfg_b1.train_cfg, max_iters=2, save_iter=2,
-                            eval_iter=10**9)
+    cfg_b1 = mk(max_iters=2, save_iter=2, eval_iter=10**9)
     wb = str(tmp_path / "wb")
-    run_training(cfg_b1, ndev=1, weights_dir=wb)
+    run_training(cfg_b1, ndev=ndev, weights_dir=wb)
 
-    cfg_b2 = ItCfg(anno_path, img_dir, str(tmp_path))
-    cfg_b2.train_cfg = dict(cfg_b2.train_cfg, max_iters=4, save_iter=10**9,
-                            eval_iter=10**9,
-                            resume_state=os.path.join(wb, "last_state.npz"))
-    state_b = run_training(cfg_b2, ndev=1, weights_dir=wb)
+    cfg_b2 = mk(max_iters=4, save_iter=10**9, eval_iter=10**9,
+                resume_state=os.path.join(wb, "last_state.npz"))
+    state_b = run_training(cfg_b2, ndev=ndev, weights_dir=wb)
 
     assert int(np.asarray(state_b.step)) == 4
     fa, fb = flatten_tree(state_a.params), flatten_tree(state_b.params)
