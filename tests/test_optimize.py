@@ -42,7 +42,12 @@ def test_fold_bn_preserves_outputs():
 
 
 @pytest.mark.slow
-def test_bf16_outputs_close():
+def test_bf16_predict_contract():
+    """Shape/dtype/finiteness contract of the bf16+fold predict path on
+    random weights.  The ACCURACY pin for the composed flagship bf16 stack
+    lives in tests/test_overfit.py::test_overfit_mini2x_bf16_serving_stack_
+    agrees (trained weights, detection agreement vs fp32) — random-weight
+    scores are too noisy to compare numerically here."""
     cfg = PPYOLO_r18vd_Config()
     cfg.num_classes = 5
     cfg.head = dict(cfg.head, num_classes=5)
@@ -54,8 +59,6 @@ def test_bf16_outputs_close():
     ref = model.predict(params, x, im_size)
     opt = optimize_for_inference(params, precision="bf16", fold_bn=True)
     got = model.predict(opt, x.astype(jnp.bfloat16), im_size)
-    # detections stay fp32 [B,100,6]; random-weight scores are tiny and noisy,
-    # just require the outputs to be finite, same-shape, and sane
     assert got.shape == ref.shape
     assert got.dtype == jnp.float32
     assert np.isfinite(np.asarray(got)).all()
