@@ -123,4 +123,18 @@ void gt2yolo_scatter(const float* gt_bbox,   // [B, M, 4] normalized xywh
   }
 }
 
+// Single-pass float32 -> uint8 image pack: round-half-to-even (np.rint
+// semantics; nearbyintf under the default FE_TONEAREST mode) then clamp to
+// [0, 255].  Replaces numpy's clip(rint(x)).astype(uint8) + stack in the
+// loader's assemble_batch — that chain materializes three full-image
+// temporaries per sample; this writes straight into the caller's
+// preallocated batch slot (tools/bench_loader.py quantifies the win).
+void f32_to_u8_rint(const float* src, int64_t n, uint8_t* dst) {
+  for (int64_t i = 0; i < n; ++i) {
+    float r = nearbyintf(src[i]);
+    r = r < 0.0f ? 0.0f : (r > 255.0f ? 255.0f : r);
+    dst[i] = (uint8_t)r;
+  }
+}
+
 }  // extern "C"

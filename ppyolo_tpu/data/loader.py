@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional
 
@@ -42,9 +43,13 @@ def apply_sample_transforms(sample, ops, rng):
 
 
 def assemble_batch(samples: List[dict], cfg, rng: np.random.RandomState,
-                   *, fixed_shape: Optional[int] = None) -> Dict[str, Any]:
+                   *, fixed_shape: Optional[int] = None,
+                   timings: Optional[Dict[str, float]] = None) -> Dict[str, Any]:
     """Batch transforms: RandomShape -> NormalizeImage -> Permute ->
-    Gt2YoloTarget (vectorized).  Returns numpy arrays (NHWC)."""
+    Gt2YoloTarget (vectorized).  Returns numpy arrays (NHWC).
+
+    ``timings`` (bench hook): accumulates "resize_s"/"pack_s" wall time.
+    """
     shape = fixed_shape if fixed_shape is not None else int(
         rng.choice(cfg.randomShape["sizes"]))
     shaper = T.RandomShapeSingle(
@@ -56,16 +61,50 @@ def assemble_batch(samples: List[dict], cfg, rng: np.random.RandomState,
     # the host.  Pixels are still 0..255 floats here (augmentations), so
     # the uint8 round-trip quantizes by <=0.5/255 — below augmentation noise.
     devnorm = bool(cfg.train_cfg.get("device_normalize", True))
-    for s in samples:
-        shaper(shape, s, rng)
-        if not devnorm:
-            normalizer(s, rng)
-        permuter(s, rng)
     if devnorm:
-        images = np.stack([
-            np.clip(np.rint(s["image"]), 0.0, 255.0) for s in samples
-        ]).astype(np.uint8)
+        # zero-temporary path (r5): resize into one reusable fp32 scratch,
+        # then a single-pass native rint+clip+u8 write straight into the
+        # preallocated batch slot (native.pack_u8) — the numpy chain
+        # stack([clip(rint(x))]).astype(u8) materialized three full-image
+        # temporaries per sample.  Bitwise-identical (tests/test_native.py,
+        # test_loader.py); ~1.6x on the pack stage (tools/bench_loader.py).
+        from .. import native as _native
+
+        s_int = int(shape)
+        images = np.empty((len(samples), s_int, s_int, 3), np.uint8)
+        scratch = np.empty((s_int, s_int, 3), np.float32)
+        for i, s in enumerate(samples):
+            t0 = time.perf_counter() if timings is not None else 0.0
+            shaper(shape, s, rng, dst=scratch)
+            permuter(s, rng)
+            if timings is not None:
+                t1 = time.perf_counter()
+                timings["resize_s"] = timings.get("resize_s", 0.0) + t1 - t0
+                t0 = t1
+            img = s["image"]
+            if img.dtype == np.float32:
+                if not img.flags.c_contiguous:  # e.g. Permute(to_bgr=True)
+                    img = np.ascontiguousarray(img)
+                if not _native.pack_u8(img, images[i]):
+                    np.rint(img, out=img)
+                    np.clip(img, 0.0, 255.0, out=img)
+                    images[i] = img  # integral-valued: cast is exact
+            elif img.dtype == np.uint8:
+                # p<1 augmentations (mixup window over, distort/expand
+                # draws all miss) leave the image uint8 — rint/clip are
+                # identities there, so pack is a straight copy (the old
+                # generic rint(u8) materialized a float64 full-image temp)
+                images[i] = img
+            else:  # float64 or exotic: generic (slow, correct) path
+                images[i] = np.clip(np.rint(img), 0.0, 255.0).astype(np.uint8)
+            if timings is not None:
+                timings["pack_s"] = (timings.get("pack_s", 0.0)
+                                     + time.perf_counter() - t0)
     else:
+        for s in samples:
+            shaper(shape, s, rng)
+            normalizer(s, rng)
+            permuter(s, rng)
         images = np.stack([s["image"] for s in samples]).astype(np.float32)
     gt_bbox = np.stack([s["gt_bbox"] for s in samples]).astype(np.float32)
     gt_class = np.stack(

@@ -521,7 +521,7 @@ class RandomShapeSingle(BaseOperator):
         self.random_inter = random_inter
         self.resize_box = resize_box
 
-    def __call__(self, shape, sample, rng):
+    def __call__(self, shape, sample, rng, dst=None):
         method = (int(rng.choice(_interps())) if self.random_inter
                   else cv2.INTER_NEAREST)
         im = sample["image"]
@@ -530,8 +530,16 @@ class RandomShapeSingle(BaseOperator):
         scale_y = float(shape) / h
         # explicit dsize: fx/fy rounding could yield shape+-1 and break the
         # static-shape batch stack
-        sample["image"] = cv2.resize(im, (int(shape), int(shape)),
-                                     interpolation=method)
+        if dst is not None and im.dtype == dst.dtype:
+            # resize into the caller's reusable scratch (assemble_batch's
+            # per-batch buffer — skips one full-image malloc per sample;
+            # values bitwise-identical to the allocating call)
+            cv2.resize(im, (int(shape), int(shape)), dst=dst,
+                       interpolation=method)
+            sample["image"] = dst
+        else:
+            sample["image"] = cv2.resize(im, (int(shape), int(shape)),
+                                         interpolation=method)
         if self.resize_box and len(sample.get("gt_bbox", [])) > 0:
             scale = np.array([scale_x, scale_y] * 2, np.float32)
             sample["gt_bbox"] = np.clip(sample["gt_bbox"] * scale, 0,

@@ -62,6 +62,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.gt2yolo_scatter.argtypes = [
             f32p, i32p, f32p, i32p, i64, i64, i32p, i64, f32p, f32p,
             i64, i64, i64, f32p]
+        lib.f32_to_u8_rint.argtypes = [f32p, i64, u8p]
         _lib = lib
         return _lib
 
@@ -110,3 +111,22 @@ def match_greedy(ious: np.ndarray, g_ignore: np.ndarray, g_crowd: np.ndarray,
                      _ptr(th, ctypes.c_double), nt,
                      _ptr(dt_m, ctypes.c_int64), _ptr(gt_m, ctypes.c_int64))
     return dt_m, gt_m
+
+
+def pack_u8(src: np.ndarray, dst: np.ndarray) -> bool:
+    """Single-pass clip(rint(src)).astype(uint8) into ``dst`` (native).
+
+    ``src`` must be contiguous float32, ``dst`` contiguous uint8 of the same
+    element count (e.g. one image's slot of a preallocated batch).  Returns
+    False when the native lib is unavailable — caller falls back to numpy.
+    Rounding is half-to-even (nearbyintf under the default FP environment ==
+    np.rint), pinned bitwise by tests/test_native.py."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert src.dtype == np.float32 and src.flags.c_contiguous
+    assert dst.dtype == np.uint8 and dst.flags.c_contiguous
+    assert src.size == dst.size
+    lib.f32_to_u8_rint(_ptr(src, ctypes.c_float), src.size,
+                       _ptr(dst, ctypes.c_uint8))
+    return True

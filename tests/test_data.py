@@ -313,3 +313,48 @@ def test_prefetcher_propagates_producer_errors():
     assert next(pf) == 2
     with pytest.raises(RuntimeError, match="producer"):
         next(pf)
+
+
+def test_assemble_batch_pack_bitwise_matches_naive():
+    """The r5 zero-temporary assemble path (scratch-dst resize + native
+    single-pass u8 pack) must be BITWISE identical to the naive chain
+    stack([clip(rint(resize(x)))]).astype(u8) under the same rng stream —
+    float32 (augmented), uint8 (augmentation-free), and random_inter
+    interp draws all covered."""
+    import cv2
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 6
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=6)
+    cfg.randomShape = dict(sizes=[96, 128], random_inter=True)
+
+    def mk_samples(as_float):
+        r = np.random.RandomState(11)
+        out = []
+        for h, w in ((100, 120), (90, 77), (128, 128)):
+            s = _sample(h=h, w=w)
+            s["image"] = r.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            if as_float:  # augmented-like: fractional, slightly out-of-range
+                s["image"] = (s["image"].astype(np.float32) * 1.03 - 2.7)
+            T.NormalizeBox()(s, r)
+            T.PadBox(50)(s, r)
+            T.BboxXYXY2XYWH()(s, r)
+            out.append(s)
+        return out
+
+    for as_float in (True, False):
+        got = assemble_batch(mk_samples(as_float), cfg,
+                             np.random.RandomState(5))["image"]
+        # naive oracle, SAME rng stream (shape choice + per-sample interp)
+        rng = np.random.RandomState(5)
+        shape = int(rng.choice(cfg.randomShape["sizes"]))
+        imgs = []
+        for s in mk_samples(as_float):
+            method = int(rng.choice(
+                [cv2.INTER_NEAREST, cv2.INTER_LINEAR, cv2.INTER_AREA,
+                 cv2.INTER_CUBIC, cv2.INTER_LANCZOS4]))
+            imgs.append(cv2.resize(s["image"], (shape, shape),
+                                   interpolation=method))
+        ref = np.stack([np.clip(np.rint(im), 0.0, 255.0) for im in imgs]
+                       ).astype(np.uint8)
+        np.testing.assert_array_equal(got, ref)

@@ -71,3 +71,20 @@ def test_metric_still_correct_with_native(lib):
            "score": 0.9}]
     stats = evaluate_map(gt, dt, verbose=False)
     assert np.isclose(stats[0], 1.0)
+
+
+def test_pack_u8_bitwise_matches_numpy(lib):
+    """native.pack_u8 == clip(rint(x)).astype(u8) BITWISE, including the
+    half-to-even ties (np.rint) and out-of-range clamps the loader's
+    assemble_batch relies on (r5 zero-temporary pack path)."""
+    r = np.random.RandomState(3)
+    x = (r.rand(64, 64, 3).astype(np.float32) * 300.0 - 20.0)
+    # force exact .5 ties on both parities + boundary/negative values
+    x[0, 0, :] = [0.5, 1.5, 2.5]
+    x[0, 1, :] = [254.5, 255.5, 253.5]
+    x[0, 2, :] = [-0.5, -3.7, 300.25]
+    x[0, 3, :] = [0.0, 255.0, 127.5]
+    dst = np.empty(x.shape, np.uint8)
+    assert native.pack_u8(x, dst)
+    ref = np.clip(np.rint(x), 0.0, 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(dst, ref)

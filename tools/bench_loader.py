@@ -138,6 +138,7 @@ def main():
     t_sample = 0.0
     t_assemble = 0.0
     t_getsamples = 0.0
+    asm_split = {}  # assemble_batch resize_s / pack_s attribution
     indexes = list(range(len(records)))
     warm = 2
     for b in range(args.batches + warm):
@@ -145,6 +146,7 @@ def main():
             for k in sink:
                 sink[k] = 0.0
             t_sample = t_assemble = t_getsamples = n_img = 0
+            asm_split.clear()
         it_rng = np.random.RandomState(100 + b)
         step = b % max(len(records) // args.batch_size, 1)
         t0 = time.perf_counter()
@@ -156,7 +158,7 @@ def main():
                    for s in samples]
         t_sample += time.perf_counter() - t0
         t0 = time.perf_counter()
-        L.assemble_batch(samples, cfg, it_rng)
+        L.assemble_batch(samples, cfg, it_rng, timings=asm_split)
         t_assemble += time.perf_counter() - t0
         n_img += len(samples)
 
@@ -174,6 +176,10 @@ def main():
           f"{t_getsamples / total:>8.1%}")
     print(f"{'assemble(resize+pack)':<22}{t_assemble / n_img * 1e3:>9.2f}"
           f"{t_assemble / total:>8.1%}")
+    for k, label in (("resize_s", "  - cv2.resize"), ("pack_s", "  - u8 pack")):
+        if k in asm_split:
+            print(f"{label:<22}{asm_split[k] / n_img * 1e3:>9.2f}"
+                  f"{asm_split[k] / total:>8.1%}")
     print(f"{'TOTAL':<22}{total / n_img * 1e3:>9.2f}{1:>8.0%}")
     print(f"\nhost pipeline: {img_s:.1f} img/s/core; one chip at "
           f"{args.device_img_s:.0f} img/s needs ~{cores:.1f} cores "
