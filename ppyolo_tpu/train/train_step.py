@@ -47,6 +47,29 @@ def build_loss(cfg) -> YOLOv3Loss:
                       downsample=cfg.head["downsample"], **yl)
 
 
+def make_target_builder(cfg):
+    """Per-batch on-device Gt2YoloTarget builder closure.
+
+    Targets come from the batch when the host built them, else ON DEVICE
+    from the tiny gt arrays (data/targets.py::gt2yolo_targets_device) —
+    the host-built [B,gh,gw,an,6+C] tensors are ~24x the image bytes and
+    dominated H2D.  The builder is per-image elementwise, so calling it at
+    [n*B] (prescan pipelining) is bitwise-identical to n calls at [B]."""
+    tcfg = dict(cfg.gt2YoloTarget)
+
+    def batch_targets(batch):
+        if "targets" in batch:
+            return list(batch["targets"])
+        from ..data.targets import gt2yolo_targets_device
+        h, w = batch["image"].shape[1:3]
+        return gt2yolo_targets_device(
+            batch["gt_bbox"], batch["gt_class"], batch["gt_score"], (h, w),
+            tcfg["anchors"], tcfg["anchor_masks"], tcfg["downsample_ratios"],
+            tcfg["num_classes"], iou_thresh=tcfg.get("iou_thresh", 1.0))
+
+    return batch_targets
+
+
 def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
                     compute_dtype=jnp.float32, remat: Optional[bool] = None):
     """Returns ``step_fn(state, batch, rng) -> (state, loss_dict)``.
@@ -110,20 +133,7 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
             return model.head.get_outputs(params["head"], list(feats), ctx)
         return model.outputs(params, images, ctx)
 
-    tcfg = dict(cfg.gt2YoloTarget)
-
-    def batch_targets(batch):
-        """Targets from the batch, or built ON DEVICE from the tiny gt
-        arrays (data/targets.py::gt2yolo_targets_device) — the host-built
-        [B,gh,gw,an,6+C] tensors are ~24x the image bytes and dominated H2D."""
-        if "targets" in batch:
-            return list(batch["targets"])
-        from ..data.targets import gt2yolo_targets_device
-        h, w = batch["image"].shape[1:3]
-        return gt2yolo_targets_device(
-            batch["gt_bbox"], batch["gt_class"], batch["gt_score"], (h, w),
-            tcfg["anchors"], tcfg["anchor_masks"], tcfg["downsample_ratios"],
-            tcfg["num_classes"], iou_thresh=tcfg.get("iou_thresh", 1.0))
+    batch_targets = make_target_builder(cfg)
 
     def loss_fn(trainable_flat, frozen_flat, batch, rng):
         merged = {**trainable_flat, **frozen_flat}
@@ -183,21 +193,68 @@ def make_train_step(model, cfg, *, axis_name: Optional[str] = None,
 
 def make_multi_train_step(model, cfg, *, n_steps: int,
                           axis_name: Optional[str] = None,
-                          compute_dtype=jnp.float32):
+                          compute_dtype=jnp.float32,
+                          target_pipeline: Optional[str] = None):
     """Scan ``n_steps`` train steps inside ONE XLA program.
 
     The host dispatches once per n_steps batches, so per-call dispatch
     latency (meaningful on remote/tunneled TPU runtimes) amortizes away and
     XLA can overlap the tail of one step with the head of the next.
 
+    target_pipeline (default cfg.train_cfg['target_pipeline'], 'step') —
+    where the on-device Gt2YoloTarget build runs relative to the scan
+    (r4 VERDICT #3 scheduling-overhead attack; bitwise-identical modes,
+    tools/probe_target_pipeline.py A/Bs them on the TPU):
+      'step'      in the scan body, just before the forward (baseline)
+      'prescan'   ONE vectorized [n_steps*B] build before the scan; the
+                  scan consumes ready-made target slices as xs.  Costs
+                  n_steps x the target memory (~8 MB/img fp32 @608).
+      'doublebuf' software pipeline through the carry: step i consumes
+                  targets built during step i-1; batch i+1's build sits
+                  in the same program as step i so the scheduler may
+                  interleave it with the backward/optimizer.
+
     Returns ``fn(state, batches, rng) -> (state, stacked_losses)`` where
     every leaf of ``batches`` has a leading ``n_steps`` axis.
     """
     step = make_train_step(model, cfg, axis_name=axis_name,
                            compute_dtype=compute_dtype)
+    build = make_target_builder(cfg)
+    if target_pipeline is None:
+        target_pipeline = cfg.train_cfg.get("target_pipeline", "step")
+    assert target_pipeline in ("step", "prescan", "doublebuf"), target_pipeline
 
     def multi(state: TrainState, batches, rng):
         keys = jax.random.split(rng, n_steps)
+        mode = target_pipeline if "targets" not in batches else "step"
+
+        if mode == "prescan":
+            # one big build: fold the scan axis into the batch axis (the
+            # builder is per-image elementwise -> bitwise == per-step calls)
+            gt = {k: batches[k] for k in ("gt_bbox", "gt_class", "gt_score")}
+            flat = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), gt)
+            h, w = batches["image"].shape[2:4]
+            tg = build({"image": jnp.zeros((1, h, w, 1), jnp.uint8), **flat})
+            batches = dict(batches, targets=tuple(
+                t.reshape((n_steps, -1) + t.shape[1:]) for t in tg))
+
+        if mode == "doublebuf":
+            first = jax.tree.map(lambda a: a[0], batches)
+            nxt = jax.tree.map(lambda a: jnp.roll(a, -1, axis=0), batches)
+
+            def body(carry, xs):
+                st, tgts = carry
+                batch, nbatch, key = xs
+                new_st, losses = step(st, dict(batch, targets=tgts), key)
+                # build batch i+1's targets in step i's program slot (the
+                # final iteration's build is wasted — one step of overhead
+                # per dispatch group)
+                return (new_st, tuple(build(nbatch))), losses
+
+            (st, _), losses = lax.scan(
+                body, (state, tuple(build(first))), (batches, nxt, keys))
+            return st, losses
 
         def body(carry, xs):
             batch, key = xs

@@ -77,3 +77,53 @@ def test_warmup_shapes_compiles_each_bucket(tmp_path):
     b = dummy_batch(cfg, 96, cfg.train_cfg["batch_size"])
     assert b["image"].shape[1:] == (96, 96, 3)
     assert b["image"].dtype == np.uint8
+
+
+def test_target_pipeline_modes_bitwise_equal():
+    """The three multi-step target pipelines ('step' baseline, 'prescan'
+    vectorized build, 'doublebuf' carry pipeline — r4 VERDICT #3) must
+    produce BITWISE-identical states and losses: the Gt2YoloTarget builder
+    is per-image elementwise, so only program structure may differ."""
+    import jax
+    import jax.numpy as jnp
+    from ppyolo_tpu.models import PPYOLO
+    from ppyolo_tpu.train import make_train_step, init_train_state
+    from ppyolo_tpu.train.train_step import make_multi_train_step
+    from configs import PPYOLO_r18vd_Config
+
+    cfg = PPYOLO_r18vd_Config()
+    cfg.num_classes = 3
+    cfg.head = dict(cfg.head, num_classes=3, drop_block=False)
+    cfg.gt2YoloTarget = dict(cfg.gt2YoloTarget, num_classes=3)
+    model = PPYOLO.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    n, b, size = 3, 2, 96
+    r = np.random.RandomState(0)
+    gt_bbox = np.zeros((n, b, 50, 4), np.float32)
+    gt_bbox[:, :, :2, :2] = r.uniform(0.3, 0.6, (n, b, 2, 2))
+    gt_bbox[:, :, :2, 2:] = r.uniform(0.1, 0.3, (n, b, 2, 2))
+    gt_score = np.zeros((n, b, 50), np.float32)
+    gt_score[:, :, :2] = 1.0
+    batches = {
+        "image": jnp.asarray(r.randint(0, 256, (n, b, size, size, 3)),
+                             jnp.uint8),
+        "gt_bbox": jnp.asarray(gt_bbox),
+        "gt_class": jnp.asarray(r.randint(0, 3, (n, b, 50)), jnp.int32),
+        "gt_score": jnp.asarray(gt_score),
+    }
+    rng = jax.random.PRNGKey(7)
+    results = {}
+    for mode in ("step", "prescan", "doublebuf"):
+        fn = jax.jit(make_multi_train_step(model, cfg, n_steps=n,
+                                           target_pipeline=mode))
+        st = init_train_state(model, params, cfg)
+        st2, losses = fn(st, batches, rng)
+        results[mode] = (jax.tree.map(np.asarray, st2.params),
+                         np.asarray(losses["total_loss"]))
+    ref_p, ref_l = results["step"]
+    for mode in ("prescan", "doublebuf"):
+        p, l = results[mode]
+        np.testing.assert_array_equal(ref_l, l, err_msg=mode)
+        for ka, kb in zip(jax.tree.leaves(ref_p), jax.tree.leaves(p)):
+            np.testing.assert_array_equal(ka, kb, err_msg=mode)

@@ -56,7 +56,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from configs import PPYOLO_2x_Config
-    from tools.warmup_shapes import warmup
     import train as train_mod
 
     sizes = ([int(s) for s in args.sizes.split(",") if s] or SIZES_10)
@@ -94,14 +93,13 @@ def main():
                                 steps=max(1, min(100, args.iters // 4))))
     cfg.use_ema = True
 
-    # ---- phase A: AOT warmup of every bucket (one process, sequential)
-    t_warm0 = time.time()
-    warm_times = {}
+    # ---- phases A+B: trainer with IN-PROCESS warmup (r4 VERDICT #6): the
+    # warmup executes one dummy step per bucket through the SAME jit
+    # objects the train loop dispatches, so the first real step per bucket
+    # is a pure execute (the r4 two-jit-object soak still paid 33-55 s of
+    # trace + executable load per bucket after its external AOT phase)
     if not args.skip_warmup:
-        warm_times = warmup(cfg, sizes=sizes, scan_steps=1)
-    t_warm = time.time() - t_warm0
-
-    # ---- phase B: the real trainer over the full recipe
+        cfg.train_cfg = dict(cfg.train_cfg, warmup_shapes=True)
     weights_dir = os.path.join(args.out_dir, "weights")
     metrics_path = os.path.join(weights_dir, "metrics.jsonl")
     if os.path.exists(metrics_path):
@@ -114,6 +112,9 @@ def main():
     rows = [json.loads(l) for l in open(metrics_path)]
     steps = [r for r in rows if "size" in r]
     evals = [r for r in rows if "box_ap" in r]
+    warm_times = {r["warmup_size"]: r["secs"] for r in rows
+                  if "warmup_size" in r}
+    t_warm = sum(warm_times.values())
     by_size = defaultdict(list)
     for r in steps:
         # "size" is [H, W] (r5+) or a bare int (older runs); buckets are
@@ -122,35 +123,46 @@ def main():
         if isinstance(sz, list):
             sz = sz[0] if sz[0] == sz[1] else tuple(sz)
         by_size[sz].append(r)
-    print(f"\nwarmup: {t_warm:.0f}s total "
+    print(f"\nwarmup (in-process, executes one dummy step/bucket): "
+          f"{t_warm:.0f}s total "
           f"({', '.join(f'{s}:{t:.0f}s' for s, t in warm_times.items())})")
-    print(f"train: {args.iters} iters in {t_train:.0f}s "
+    print(f"train: {args.iters} iters in {t_train - t_warm:.0f}s "
           f"({len(evals)} periodic evals, "
           f"ap={[round(e['box_ap'], 3) for e in evals]})")
     print(f"{'size':>6}{'steps':>7}{'first_s':>9}{'median_s':>10}"
-          f"{'max_s':>8}{'mfu':>7}")
+          f"{'max_s':>8}{'1st/med':>9}{'mfu':>7}")
     worst_first = 0.0
+    worst_ratio = 0.0
     for s in sorted(by_size):
         rs = by_size[s]
         ts = [r["step_s"] for r in rs]
         mfus = [r["mfu"] for r in rs if r.get("mfu")]
+        med = float(np.median(ts))
+        ratio = ts[0] / med if med > 0 else float("inf")
         worst_first = max(worst_first, ts[0])
-        print(f"{s:>6}{len(rs):>7}{ts[0]:>9.2f}{np.median(ts):>10.3f}"
-              f"{max(ts):>8.2f}"
+        worst_ratio = max(worst_ratio, ratio)
+        print(f"{s:>6}{len(rs):>7}{ts[0]:>9.2f}{med:>10.3f}"
+              f"{max(ts):>8.2f}{ratio:>9.2f}"
               f"{(np.mean(mfus) if mfus else float('nan')):>7.1%}")
     missing = [s for s in sizes if s not in by_size]
-    ok = worst_first < 60.0 and not missing
+    # pass: every bucket seen, no fresh post-warmup recompile (a cache miss
+    # is 90-340 s), and — with in-process warmup — the first real step per
+    # bucket is ~steady state (<2x median; r4 VERDICT #6 'Done' criterion)
+    ok = (worst_first < 60.0 and not missing
+          and (args.skip_warmup or worst_ratio < 2.0))
     print(f"\nall {len(sizes)} buckets seen: {not missing} (missing={missing}); "
-          f"worst first-step {worst_first:.1f}s "
-          f"{'< 60s: NO fresh post-warmup recompiles' if ok else 'FAIL'}")
+          f"worst first-step {worst_first:.1f}s, worst first/median "
+          f"{worst_ratio:.2f}x "
+          f"{'PASS' if ok else 'FAIL'}")
     print(json.dumps({
         "metric": "soak_recipe", "ok": bool(ok),
         "warmup_total_s": round(t_warm, 1),
         "warmup_per_bucket_s": {str(k): round(v, 1)
                                 for k, v in warm_times.items()},
-        "train_total_s": round(t_train, 1),
+        "train_total_s": round(t_train - t_warm, 1),
         "buckets_seen": sorted(by_size),
         "worst_first_step_s": round(worst_first, 2),
+        "worst_first_over_median": round(worst_ratio, 2),
         "median_step_s": {str(s): round(float(np.median(
             [r["step_s"] for r in by_size[s]])), 3) for s in sorted(by_size)},
         "evals": [round(e["box_ap"], 4) for e in evals],

@@ -230,6 +230,36 @@ def run_training(cfg, *, ndev: int = 0, weights_dir: str = "./weights"):
             flops_by_shape[shp] = f * scan_steps if f else f
         return flops_by_shape[shp]
 
+    # in-process shape warmup (r4 VERDICT #6): execute one dummy step per
+    # size bucket through the SAME jit objects the loop dispatches, so the
+    # first real step of every bucket is a pure execute.  The external
+    # tools/warmup_shapes.py only fills the PERSISTENT compile cache — a
+    # separate jit object still pays trace + executable load (measured
+    # 33-55 s/bucket on this runtime, r4 soak) on its own first call per
+    # shape.  The dummy state copy eats the donation; results are discarded.
+    if tc.get("warmup_shapes") and getattr(cfg, "randomShape", None):
+        from tools.warmup_shapes import dummy_batch
+
+        for size in sorted(set(cfg.randomShape["sizes"])):
+            t0 = time.time()
+            dummy = dummy_batch(cfg, int(size), tc["batch_size"], scan_steps)
+            unit, _ = transfer((to_device_batch(dummy), 0))
+            st_w = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+            rng, sub = jax.random.split(rng)
+            if scan_steps > 1:
+                _, wl = multi_fn(st_w, unit, sub)
+            else:
+                _, wl = step_fn(st_w, unit, sub)
+            np.asarray(wl["total_loss"])  # sync through the tunnel
+            unit_flops(unit, sub)  # pre-trace the per-shape cost analysis
+            dt_w = time.time() - t0
+            logger.info("warmup %dx%d: %.1fs", size, size, dt_w)
+            if is_main:
+                with open(metrics_path, "a") as mf:
+                    mf.write(json.dumps({"warmup_size": int(size),
+                                         "secs": round(dt_w, 2),
+                                         "time": time.time()}) + "\n")
+
     # 1 = log every step (soak runs); <= 0 disables per-step logging
     log_every = int(tc.get("log_iter", 20))
     while True:
