@@ -535,3 +535,22 @@ def test_multiclass_nms_matches_greedy_oracle():
         np.testing.assert_allclose(row[1], s, rtol=1e-5)
         np.testing.assert_allclose(row[2:], b, rtol=1e-5)
 
+
+
+def test_strided_conv_variants_match_lax():
+    """conv_s2_phase / conv_s2_pallas (both dot modes) == the baseline
+    strided lax conv, tap-for-tap (r4 VERDICT #4 attempt; the probe
+    tools/probe_strided_conv.py measures them on TPU)."""
+    from ppyolo_tpu.ops.strided_conv_pallas import (
+        conv_s2_xla, conv_s2_phase, conv_s2_pallas)
+
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.randn(2, 24, 24, 16), jnp.float32)
+    w = jnp.asarray(r.randn(3, 3, 16, 32) * 0.1, jnp.float32)
+    ref = np.asarray(conv_s2_xla(x, w))
+    assert ref.shape == (2, 12, 12, 32)
+    for got in (conv_s2_phase(x, w),
+                conv_s2_pallas(x, w, use_3d_dot=True),
+                conv_s2_pallas(x, w, use_3d_dot=False, block_rows=4)):
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5,
+                                   atol=2e-5)
