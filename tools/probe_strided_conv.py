@@ -53,9 +53,11 @@ def main():
         w = jnp.asarray(r.randn(3, 3, C, Co) * 0.05, dt)
         gb = a.scan * a.batch * ((H * H * C + (H // 2) ** 2 * Co) * 2) / 1e9
         gf = a.scan * a.batch * (H // 2) ** 2 * C * Co * 9 * 2 / 1e12
+        # 0.819 GB/ms HBM, 0.197 TFLOP/ms MXU (v5e); gb/gf are totals over
+        # scan*batch images, so /0.819 (or /0.197) is already total ms
         print(f"{name}: [{a.batch},{H},{H},{C}]->{Co}  floor "
-              f"HBM {gb / 0.819 / a.scan * 1e3 / a.batch * 8:.3f} "
-              f"MXU {gf / 0.197 / a.scan * 1e3 / a.batch * 8:.3f} ms/b8")
+              f"HBM {gb / 0.819 / a.scan / a.batch * 8:.3f} "
+              f"MXU {gf / 0.197 / a.scan / a.batch * 8:.3f} ms/b8")
         row = {}
         for vname, fn in variants.items():
             @jax.jit
