@@ -530,7 +530,12 @@ class RandomShapeSingle(BaseOperator):
         scale_y = float(shape) / h
         # explicit dsize: fx/fy rounding could yield shape+-1 and break the
         # static-shape batch stack
-        if dst is not None and im.dtype == dst.dtype:
+        if (dst is not None and im.dtype == dst.dtype
+                and im.ndim == dst.ndim
+                and (im.ndim < 3 or im.shape[2] == dst.shape[2])):
+            # channel/rank must match too: cv2.resize(dst=) silently
+            # allocates internally on mismatch and leaves `dst` (the
+            # PREVIOUS sample's pixels) untouched
             # resize into the caller's reusable scratch (assemble_batch's
             # per-batch buffer — skips one full-image malloc per sample;
             # values bitwise-identical to the allocating call)

@@ -241,16 +241,24 @@ def make_multi_train_step(model, cfg, *, n_steps: int,
 
         if mode == "doublebuf":
             first = jax.tree.map(lambda a: a[0], batches)
-            nxt = jax.tree.map(lambda a: jnp.roll(a, -1, axis=0), batches)
+            # the builder reads only the gt leaves + the (static) image
+            # shape, so roll just those — rolling the full tree would hand
+            # the scan a shifted copy of the image stack and rely on XLA's
+            # while-loop DCE to strip it
+            gt = {k: batches[k] for k in ("gt_bbox", "gt_class", "gt_score")}
+            nxt = jax.tree.map(lambda a: jnp.roll(a, -1, axis=0), gt)
+            h, w = batches["image"].shape[2:4]
+            dummy_im = jnp.zeros((1, h, w, 1), jnp.uint8)
 
             def body(carry, xs):
                 st, tgts = carry
-                batch, nbatch, key = xs
+                batch, ngt, key = xs
                 new_st, losses = step(st, dict(batch, targets=tgts), key)
                 # build batch i+1's targets in step i's program slot (the
                 # final iteration's build is wasted — one step of overhead
                 # per dispatch group)
-                return (new_st, tuple(build(nbatch))), losses
+                return (new_st,
+                        tuple(build({"image": dummy_im, **ngt}))), losses
 
             (st, _), losses = lax.scan(
                 body, (state, tuple(build(first))), (batches, nxt, keys))

@@ -358,3 +358,29 @@ def test_assemble_batch_pack_bitwise_matches_naive():
         ref = np.stack([np.clip(np.rint(im), 0.0, 255.0) for im in imgs]
                        ).astype(np.uint8)
         np.testing.assert_array_equal(got, ref)
+
+def test_randomshape_dst_mismatch_falls_back_to_allocating():
+    """cv2.resize(dst=) silently allocates internally when the dst
+    rank/channels mismatch — the scratch path must detect that and fall
+    back, or the PREVIOUS sample's pixels would ship as the image."""
+    import cv2
+
+    r = np.random.RandomState(3)
+    op = T.RandomShapeSingle(random_inter=False, resize_box=False)
+    # poison the scratch with a recognizable previous-sample pattern
+    dst = np.full((64, 64, 3), 111.0, np.float32)
+    gray = r.randint(0, 256, (40, 50)).astype(np.float32)   # rank 2 != 3
+    out = op(64, {"image": gray.copy()}, r, dst=dst)["image"]
+    ref = cv2.resize(gray, (64, 64), interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_array_equal(out, ref)
+
+    two_ch = r.randint(0, 256, (40, 50, 2)).astype(np.float32)
+    out = op(64, {"image": two_ch.copy()}, r, dst=dst)["image"]
+    ref = cv2.resize(two_ch, (64, 64), interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_array_equal(out, ref)
+    # matching rank+channels still goes through the scratch
+    rgb = r.randint(0, 256, (40, 50, 3)).astype(np.float32)
+    out = op(64, {"image": rgb.copy()}, r, dst=dst)["image"]
+    assert out is dst
+    ref = cv2.resize(rgb, (64, 64), interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_array_equal(out, ref)

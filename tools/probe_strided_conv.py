@@ -51,7 +51,8 @@ def main():
     for name, H, C, Co in shapes:
         xs = jnp.asarray(r.randn(a.scan, a.batch, H, H, C) * 0.1, dt)
         w = jnp.asarray(r.randn(3, 3, C, Co) * 0.05, dt)
-        gb = a.scan * a.batch * ((H * H * C + (H // 2) ** 2 * Co) * 2) / 1e9
+        bpe = jnp.dtype(dt).itemsize
+        gb = a.scan * a.batch * ((H * H * C + (H // 2) ** 2 * Co) * bpe) / 1e9
         gf = a.scan * a.batch * (H // 2) ** 2 * C * Co * 9 * 2 / 1e12
         # 0.819 GB/ms HBM, 0.197 TFLOP/ms MXU (v5e); gb/gf are totals over
         # scan*batch images, so /0.819 (or /0.197) is already total ms

@@ -134,7 +134,10 @@ def main():
     worst_first = 0.0
     worst_ratio = 0.0
     cold_buckets = []
-    for s in sorted(by_size):
+    # keys are ints (square buckets) and possibly (h, w) tuples — sort by a
+    # uniform key so a non-square row can't TypeError the table
+    size_key = lambda s: (s, s) if isinstance(s, int) else tuple(s)
+    for s in sorted(by_size, key=size_key):
         rs = by_size[s]
         ts = [r["step_s"] for r in rs]
         mfus = [r["mfu"] for r in rs if r.get("mfu")]
@@ -172,12 +175,14 @@ def main():
         "warmup_per_bucket_s": {str(k): round(v, 1)
                                 for k, v in warm_times.items()},
         "train_total_s": round(t_train - t_warm, 1),
-        "buckets_seen": sorted(by_size),
+        "buckets_seen": [list(s) if isinstance(s, tuple) else s
+                         for s in sorted(by_size, key=size_key)],
         "worst_first_step_s": round(worst_first, 2),
         "worst_first_over_median": round(worst_ratio, 2),
         "cold_buckets": cold_buckets,
         "median_step_s": {str(s): round(float(np.median(
-            [r["step_s"] for r in by_size[s]])), 3) for s in sorted(by_size)},
+            [r["step_s"] for r in by_size[s]])), 3)
+            for s in sorted(by_size, key=size_key)},
         "evals": [round(e["box_ap"], 4) for e in evals],
     }))
 
