@@ -27,7 +27,11 @@ import numpy as np
 
 BASELINE_FPS = 16.6  # reference README.md:13 (ppyolo_2x @608, GTX 1660 Ti)
 BATCH = 8
-GROUP = 64           # batches per scanned dispatch
+GROUP = 96           # batches per scanned dispatch (r5 sweep via
+                     # tools/probe_scan_group.py: 64/96/128/64 back-to-back
+                     # = 734.5/748.8/734.8/737.8 img/s — 96 amortizes the
+                     # ~20 ms/dispatch tunnel+D2H overhead; 128's 2x-bigger
+                     # D2H per dispatch gives the gain back)
 SIZE = 608
 
 
