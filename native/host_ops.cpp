@@ -138,3 +138,109 @@ void f32_to_u8_rint(const float* src, int64_t n, uint8_t* dst) {
 }
 
 }  // extern "C"
+
+// Fused ColorDistort chain (transforms.py ColorDistort, reference
+// transform.py:479-612 random_apply path).  All four sub-ops are per-PIXEL
+// maps, so the whole drawn chain applies in ONE pass with zero temporaries
+// and bitwise-identical results to the numpy per-op path: fusion cannot
+// change per-element f32 arithmetic, and each step reproduces numpy's exact
+// semantics —
+//   * scalar deltas arrive pre-cast to f32 (numpy casts weak python-float
+//     scalars to the array dtype under NEP 50);
+//   * saturation's gray is numpy's sequential length-3 axis sum
+//     ((r*w0 + g*w1) + b*w2 in f32) and gray*(1-delta) is rounded ONCE per
+//     pixel then reused for all 3 channels (numpy materializes the
+//     broadcast [H,W,1] product before the add);
+//   * hue reproduces np.dot(img3d, t3x3)'s strided FLOAT_dot: each product
+//     rounded to f32, accumulated in DOUBLE ascending k, rounded once at
+//     the end (verified element-exhaustively vs numpy 2.0 — NOT the same
+//     bits as cblas_sgemm, which the 2-D reshape would hit);
+//   * the build carries no -march/-mfma, so no FMA contraction can fuse a
+//     mul+add and change rounding (tests/test_native.py pins all of this
+//     bitwise against the pure-numpy path).
+// ops[o] in {0 brightness, 1 contrast, 2 saturation, 3 hue}; params is
+// [n_ops, 12] row-major: brightness/contrast use p[0]=delta; saturation
+// p[0]=delta, p[1]=f32(1.0-delta), p[2..4]=gray weights; hue p[0..8] =
+// t[k*3+j] (np.dot's rhs, row-major).
+template <typename SrcT>
+static void color_distort_impl(const SrcT* src, int64_t n_px,
+                               const int32_t* ops, const float* params,
+                               int64_t n_ops, float* out) {
+  for (int64_t i = 0; i < n_px; ++i) {
+    float r = (float)src[i * 3 + 0];
+    float g = (float)src[i * 3 + 1];
+    float b = (float)src[i * 3 + 2];
+    for (int64_t o = 0; o < n_ops; ++o) {
+      const float* p = params + o * 12;
+      switch (ops[o]) {
+        case 0: r += p[0]; g += p[0]; b += p[0]; break;
+        case 1: r *= p[0]; g *= p[0]; b *= p[0]; break;
+        case 2: {
+          const float gray = (r * p[2] + g * p[3]) + b * p[4];
+          const float gs = gray * p[1];
+          r = r * p[0] + gs;
+          g = g * p[0] + gs;
+          b = b * p[0] + gs;
+          break;
+        }
+        case 3: {
+          const float nr = (float)(((double)(r * p[0]) + (double)(g * p[3])) +
+                                   (double)(b * p[6]));
+          const float ng = (float)(((double)(r * p[1]) + (double)(g * p[4])) +
+                                   (double)(b * p[7]));
+          const float nb = (float)(((double)(r * p[2]) + (double)(g * p[5])) +
+                                   (double)(b * p[8]));
+          r = nr;
+          g = ng;
+          b = nb;
+          break;
+        }
+      }
+    }
+    out[i * 3 + 0] = r;
+    out[i * 3 + 1] = g;
+    out[i * 3 + 2] = b;
+  }
+}
+
+extern "C" {
+
+// Fused MixupImage blend (transforms.py MixupImage, reference
+// transform.py:131-191): out[H,W,C] = u8(f32(im1)*f1 [over im1's region]
+// + f32(im2)*f2 [over im2's region]), zero-filled elsewhere, H/W = max of
+// the two shapes, both anchored at the origin.  One pass, zero
+// temporaries — the numpy chain materializes a zeros canvas, two astype
+// copies, two scaled products and a final cast (4 full-image temporaries).
+// Bitwise-identical: products round f32 (f1/f2 pre-cast from the weak
+// python-float factors), the overlap add is f32 canvas+product in the
+// same order, and the final (uint8_t) cast is C truncation == astype's.
+void mixup_u8(const uint8_t* im1, int64_t h1, int64_t w1,
+              const uint8_t* im2, int64_t h2, int64_t w2,
+              float f1, float f2, int64_t ch, uint8_t* out) {
+  const int64_t H = h1 > h2 ? h1 : h2;
+  const int64_t W = w1 > w2 ? w1 : w2;
+  for (int64_t y = 0; y < H; ++y) {
+    const bool in1y = y < h1, in2y = y < h2;
+    for (int64_t x = 0; x < W; ++x) {
+      const bool in1 = in1y && x < w1, in2 = in2y && x < w2;
+      for (int64_t c = 0; c < ch; ++c) {
+        float v = 0.0f;
+        if (in1) v = (float)im1[(y * w1 + x) * ch + c] * f1;
+        if (in2) v += (float)im2[(y * w2 + x) * ch + c] * f2;
+        out[(y * W + x) * ch + c] = (uint8_t)v;
+      }
+    }
+  }
+}
+
+void color_distort_u8(const uint8_t* src, int64_t n_px, const int32_t* ops,
+                      const float* params, int64_t n_ops, float* out) {
+  color_distort_impl(src, n_px, ops, params, n_ops, out);
+}
+
+void color_distort_f32(const float* src, int64_t n_px, const int32_t* ops,
+                       const float* params, int64_t n_ops, float* out) {
+  color_distort_impl(src, n_px, ops, params, n_ops, out);
+}
+
+}  // extern "C"

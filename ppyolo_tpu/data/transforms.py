@@ -19,6 +19,8 @@ from numbers import Number
 
 import numpy as np
 
+from ppyolo_tpu import native
+
 try:
     import cv2
 except ImportError:  # pragma: no cover
@@ -88,10 +90,15 @@ class MixupImage(BaseOperator):
         img1, img2 = sample["image"], other["image"]
         h = max(img1.shape[0], img2.shape[0])
         w = max(img1.shape[1], img2.shape[1])
-        img = np.zeros((h, w, img1.shape[2]), np.float32)
-        img[: img1.shape[0], : img1.shape[1]] = img1.astype(np.float32) * factor
-        img[: img2.shape[0], : img2.shape[1]] += img2.astype(np.float32) * (1 - factor)
-        sample["image"] = img.astype(np.uint8)
+        out = native.mixup_u8(img1, img2, factor)  # fused single pass
+        if out is None:  # no native lib / non-u8 inputs: numpy chain
+            img = np.zeros((h, w, img1.shape[2]), np.float32)
+            img[: img1.shape[0], : img1.shape[1]] = (
+                img1.astype(np.float32) * factor)
+            img[: img2.shape[0], : img2.shape[1]] += (
+                img2.astype(np.float32) * (1 - factor))
+            out = img.astype(np.uint8)
+        sample["image"] = out
         sample["gt_bbox"] = np.concatenate([sample["gt_bbox"], other["gt_bbox"]], 0)
         sample["gt_class"] = np.concatenate([sample["gt_class"], other["gt_class"]], 0)
         sample["gt_score"] = np.concatenate(
@@ -174,7 +181,22 @@ class PhotometricDistort(BaseOperator):
 
 class ColorDistort(BaseOperator):
     """Random hue/saturation/contrast/brightness in random order
-    (reference transform.py:479-612, random_apply path)."""
+    (reference transform.py:479-612, random_apply path).
+
+    The RNG draws (permutation, per-op skip uniform, per-op delta) happen
+    up front in exactly the order the reference's per-op functions draw
+    them; the drawn chain is then applied either as ONE fused native pass
+    over the pixels (``native.color_distort`` — all four sub-ops are
+    per-pixel maps, so fusing them is bitwise-free and removes every
+    full-image temporary; this was the loader's worst op at 34% of sample
+    time, tools/bench_loader.py) or as the equivalent per-op numpy chain
+    when the native lib is unavailable.  tests/test_native.py pins the two
+    paths bitwise against each other; test_reference_transform_parity.py
+    pins the result bitwise against the reference under paired RNG."""
+
+    # draw order index -> op; codes match native/host_ops.cpp
+    _OP_ATTRS = ("brightness", "contrast", "saturation", "hue")
+    _GRAY_W = (np.float32(0.299), np.float32(0.587), np.float32(0.114))
 
     def __init__(self, hue=(-18, 18, 0.5), saturation=(0.5, 1.5, 0.5),
                  contrast=(0.5, 1.5, 0.5), brightness=(0.5, 1.5, 0.5),
@@ -186,12 +208,11 @@ class ColorDistort(BaseOperator):
         self.hsv_format = hsv_format
         self.random_channel = random_channel
 
-    def _hue(self, img, rng):
-        low, high, prob = self.hue
-        if rng.uniform(0.0, 1.0) < prob:
-            return img
-        img = img.astype(np.float32, copy=False)
-        delta = rng.uniform(low, high)
+    @staticmethod
+    def _hue_matrix(delta):
+        """RGB-space hue rotation via YIQ (reference transform.py:497-515);
+        3x3 math in f64, cast once — a float64 t would promote the whole
+        image dot to f64 (2x cost).  Returns np.dot's rhs ([k, j])."""
         u = np.cos(delta * np.pi)
         w = np.sin(delta * np.pi)
         bt = np.array([[1.0, 0.0, 0.0], [0.0, u, -w], [0.0, w, u]])
@@ -199,37 +220,60 @@ class ColorDistort(BaseOperator):
                          [0.211, -0.523, 0.311]])
         ityiq = np.array([[1.0, 0.956, 0.621], [1.0, -0.272, -0.647],
                           [1.0, -1.107, 1.705]])
-        # f32 — a float64 3x3 would promote the whole image dot to f64 (2x cost)
-        t = np.dot(np.dot(ityiq, bt), tyiq).T.astype(np.float32)
-        return np.dot(img, t)
+        return np.dot(np.dot(ityiq, bt), tyiq).T.astype(np.float32)
 
-    def _saturation(self, img, rng):
-        low, high, prob = self.saturation
-        if rng.uniform(0.0, 1.0) < prob:
-            return img
-        delta = rng.uniform(low, high)
+    def _draw_ops(self, rng):
+        """Permutation + per-op draws, RNG-order-identical to the
+        reference's brightness/contrast/saturation/hue functions: one
+        uniform(0,1) skip draw each, then uniform(low,high) if applied."""
+        ops = []
+        # map the historical fns-list index (brightness, contrast,
+        # saturation, hue) to the native op code (same order)
+        for i in rng.permutation(len(self._OP_ATTRS)):
+            low, high, prob = getattr(self, self._OP_ATTRS[int(i)])
+            if rng.uniform(0.0, 1.0) < prob:
+                continue
+            ops.append((int(i), rng.uniform(low, high)))
+        return ops
+
+    def _apply_numpy(self, img, code, delta):
+        """One sub-op, exactly the pre-fusion numpy arithmetic."""
         img = img.astype(np.float32, copy=False)
-        gray = (img * np.array([[[0.299, 0.587, 0.114]]], np.float32)).sum(
-            axis=2, keepdims=True)
-        return img * delta + gray * (1.0 - delta)
+        if code == 0:  # brightness
+            return img + delta
+        if code == 1:  # contrast
+            return img * delta
+        if code == 2:  # saturation
+            gray = (img * np.array([[self._GRAY_W]], np.float32)).sum(
+                axis=2, keepdims=True)
+            return img * delta + gray * (1.0 - delta)
+        return np.dot(img, self._hue_matrix(delta))  # hue
 
-    def _contrast(self, img, rng):
-        low, high, prob = self.contrast
-        if rng.uniform(0.0, 1.0) < prob:
-            return img
-        return img.astype(np.float32, copy=False) * rng.uniform(low, high)
-
-    def _brightness(self, img, rng):
-        low, high, prob = self.brightness
-        if rng.uniform(0.0, 1.0) < prob:
-            return img
-        return img.astype(np.float32, copy=False) + rng.uniform(low, high)
+    def _pack_params(self, ops):
+        params = np.zeros((len(ops), 12), np.float32)
+        for o, (code, delta) in enumerate(ops):
+            if code == 2:
+                params[o, 0] = np.float32(delta)
+                params[o, 1] = np.float32(1.0 - delta)
+                params[o, 2:5] = self._GRAY_W
+            elif code == 3:
+                params[o, :9] = np.ascontiguousarray(
+                    self._hue_matrix(delta)).ravel()
+            else:
+                params[o, 0] = np.float32(delta)
+        return params
 
     def __call__(self, sample, rng):
         img = sample["image"]
-        fns = [self._brightness, self._contrast, self._saturation, self._hue]
-        for i in rng.permutation(len(fns)):
-            img = fns[i](img, rng)
+        ops = self._draw_ops(rng)
+        if ops:
+            codes = np.array([c for c, _ in ops], np.int32)
+            out = native.color_distort(img, codes, self._pack_params(ops))
+            if out is None:  # no native lib: equivalent per-op numpy chain
+                for code, delta in ops:
+                    img = self._apply_numpy(img, code, delta)
+                out = img
+            img = out
         sample["image"] = img
         return sample
 
@@ -257,9 +301,17 @@ class RandomExpand(BaseOperator):
             return sample
         y = rng.randint(0, h - height)
         x = rng.randint(0, w - width)
-        # empty + broadcast-assign: one pass (ones*fill was two allocs+passes)
+        # empty + fill: numpy's [3]-vector broadcast-assign walks the canvas
+        # element-wise (~30x slower than the memset fill() path, measured);
+        # the fill is uniform for every shipped config (127.5 -> 127), so
+        # memset, with per-channel fills for a non-uniform custom value
         canvas = np.empty((h, w, 3), np.uint8)
-        canvas[:] = np.array(self.fill_value, np.uint8)
+        fv = np.array(self.fill_value, np.uint8)
+        if fv[0] == fv[1] == fv[2]:
+            canvas.fill(fv[0])
+        else:
+            for ch in range(3):
+                canvas[:, :, ch].fill(fv[ch])
         # direct assignment casts with the same C semantics as astype(uint8)
         # but skips the intermediate full-image copy
         canvas[y:y + height, x:x + width] = img

@@ -63,6 +63,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p, i32p, f32p, i32p, i64, i64, i32p, i64, f32p, f32p,
             i64, i64, i64, f32p]
         lib.f32_to_u8_rint.argtypes = [f32p, i64, u8p]
+        lib.color_distort_u8.argtypes = [u8p, i64, i32p, f32p, i64, f32p]
+        lib.color_distort_f32.argtypes = [f32p, i64, i32p, f32p, i64, f32p]
+        lib.mixup_u8.argtypes = [u8p, i64, i64, u8p, i64, i64,
+                                 ctypes.c_float, ctypes.c_float, i64, u8p]
         _lib = lib
         return _lib
 
@@ -111,6 +115,60 @@ def match_greedy(ious: np.ndarray, g_ignore: np.ndarray, g_crowd: np.ndarray,
                      _ptr(th, ctypes.c_double), nt,
                      _ptr(dt_m, ctypes.c_int64), _ptr(gt_m, ctypes.c_int64))
     return dt_m, gt_m
+
+
+def color_distort(img: np.ndarray, codes: np.ndarray,
+                  params: np.ndarray) -> Optional[np.ndarray]:
+    """Fused ColorDistort op chain in one native pass (zero temporaries).
+
+    ``img`` is [H, W, 3] uint8 or float32 (any other dtype is pre-cast to
+    float32, matching the numpy path's leading ``astype``); ``codes`` int32
+    [n_ops] with 0/1/2/3 = brightness/contrast/saturation/hue; ``params``
+    float32 [n_ops, 12] packed as host_ops.cpp documents.  Returns the new
+    float32 image, or None when the native lib is unavailable — the caller
+    falls back to the per-op numpy chain (bitwise-identical, pinned by
+    tests/test_native.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if img.dtype not in (np.uint8, np.float32):
+        img = img.astype(np.float32, copy=False)
+    img = np.ascontiguousarray(img)
+    codes = np.ascontiguousarray(codes, np.int32)
+    params = np.ascontiguousarray(params, np.float32)
+    out = np.empty(img.shape, np.float32)
+    n_px = img.shape[0] * img.shape[1]
+    fn = (lib.color_distort_u8 if img.dtype == np.uint8
+          else lib.color_distort_f32)
+    fn(_ptr(img, ctypes.c_uint8 if img.dtype == np.uint8 else ctypes.c_float),
+       n_px, _ptr(codes, ctypes.c_int32), _ptr(params, ctypes.c_float),
+       len(codes), _ptr(out, ctypes.c_float))
+    return out
+
+
+def mixup_u8(im1: np.ndarray, im2: np.ndarray,
+             factor: float) -> Optional[np.ndarray]:
+    """Fused mixup blend in one native pass; None -> numpy fallback.
+
+    Requires both images uint8 HWC with the same channel count (the
+    post-decode case); the blended uint8 canvas is [max(h), max(w), C]
+    with both images anchored at the origin, bitwise-identical to the
+    numpy zeros/astype/add chain (tests/test_native.py)."""
+    lib = get_lib()
+    if (lib is None or im1.dtype != np.uint8 or im2.dtype != np.uint8
+            or im1.ndim != 3 or im2.ndim != 3
+            or im1.shape[2] != im2.shape[2]):
+        return None
+    im1 = np.ascontiguousarray(im1)
+    im2 = np.ascontiguousarray(im2)
+    h = max(im1.shape[0], im2.shape[0])
+    w = max(im1.shape[1], im2.shape[1])
+    out = np.empty((h, w, im1.shape[2]), np.uint8)
+    lib.mixup_u8(_ptr(im1, ctypes.c_uint8), im1.shape[0], im1.shape[1],
+                 _ptr(im2, ctypes.c_uint8), im2.shape[0], im2.shape[1],
+                 np.float32(factor), np.float32(1.0 - factor),
+                 im1.shape[2], _ptr(out, ctypes.c_uint8))
+    return out
 
 
 def pack_u8(src: np.ndarray, dst: np.ndarray) -> bool:

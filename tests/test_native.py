@@ -88,3 +88,64 @@ def test_pack_u8_bitwise_matches_numpy(lib):
     assert native.pack_u8(x, dst)
     ref = np.clip(np.rint(x), 0.0, 255.0).astype(np.uint8)
     np.testing.assert_array_equal(dst, ref)
+
+
+def test_color_distort_fused_bitwise_matches_numpy(lib):
+    """The fused native ColorDistort pass == the per-op numpy chain BITWISE
+    for every op subset/order and both input dtypes (u8 from mixup/decode,
+    f32).  This is the contract that lets the loader run one zero-temporary
+    pass where numpy ran up to ~10 full-image temporaries; the trickiest
+    clause is hue: np.dot(img3d, t) rounds each f32 product but accumulates
+    in FLOAT64 (numpy's strided FLOAT_dot — not sgemm), which host_ops.cpp
+    reproduces exactly."""
+    from ppyolo_tpu.data.transforms import ColorDistort
+
+    cd = ColorDistort()
+    r = np.random.RandomState(11)
+    import itertools
+
+    checked = 0
+    for dtype in (np.uint8, np.float32):
+        if dtype == np.uint8:
+            img = r.randint(0, 256, (37, 53, 3)).astype(np.uint8)
+        else:
+            img = r.uniform(-30.0, 300.0, (37, 53, 3)).astype(np.float32)
+        for n in range(1, 5):
+            for combo in itertools.permutations(range(4), n):
+                ops = [(c, float(r.uniform(*getattr(
+                    cd, cd._OP_ATTRS[c])[:2]))) for c in combo]
+                fused = native.color_distort(
+                    img, np.array([c for c, _ in ops], np.int32),
+                    cd._pack_params(ops))
+                assert fused is not None and fused.dtype == np.float32
+                ref = img
+                for code, delta in ops:
+                    ref = cd._apply_numpy(ref, code, delta)
+                np.testing.assert_array_equal(
+                    fused.view(np.uint32), ref.view(np.uint32),
+                    err_msg=f"dtype={dtype} ops={ops}")
+                checked += 1
+    assert checked == 2 * (4 + 12 + 24 + 24)
+
+
+def test_mixup_fused_bitwise_matches_numpy(lib):
+    """native.mixup_u8 == the numpy zeros/astype/scale/add/cast chain
+    BITWISE over asymmetric shapes (im1 taller, im2 wider, equal) and
+    factors including ones with inexact f32 casts."""
+    r = np.random.RandomState(7)
+    for (h1, w1), (h2, w2) in [((40, 30), (25, 55)), ((25, 55), (40, 30)),
+                               ((33, 44), (33, 44)), ((10, 10), (64, 64))]:
+        im1 = r.randint(0, 256, (h1, w1, 3)).astype(np.uint8)
+        im2 = r.randint(0, 256, (h2, w2, 3)).astype(np.uint8)
+        for factor in (0.5, 0.123456789, 0.9999, float(r.beta(1.5, 1.5))):
+            fused = native.mixup_u8(im1, im2, factor)
+            assert fused is not None
+            h, w = max(h1, h2), max(w1, w2)
+            ref = np.zeros((h, w, 3), np.float32)
+            ref[:h1, :w1] = im1.astype(np.float32) * factor
+            ref[:h2, :w2] += im2.astype(np.float32) * (1 - factor)
+            ref = ref.astype(np.uint8)
+            np.testing.assert_array_equal(
+                fused, ref, err_msg=f"shapes {(h1,w1)}x{(h2,w2)} f={factor}")
+    # non-u8 inputs decline to the numpy path
+    assert native.mixup_u8(im1.astype(np.float32), im2, 0.5) is None
