@@ -24,13 +24,21 @@ _failed = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    # -march=native vectorizes the fused loader kernels (measured 2.1-2.2x
+    # on color_distort/mixup chains); -ffp-contract=off keeps it BITWISE —
+    # auto-vectorization is per-element IEEE-safe, but without it -O3 with
+    # FMA hardware may contract mul+add and change rounding (the bitwise
+    # contracts in tests/test_native.py would catch that).  Fall back to
+    # baseline flags if -march=native is rejected (exotic/old toolchains).
+    for flags in (["-O3", "-march=native", "-ffp-contract=off"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", _SRC, "-o", _SO],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
