@@ -137,8 +137,8 @@ def color_distort(img: np.ndarray, codes: np.ndarray,
     falls back to the per-op numpy chain (bitwise-identical, pinned by
     tests/test_native.py)."""
     lib = get_lib()
-    if lib is None:
-        return None
+    if lib is None or img.ndim != 3 or img.shape[2] != 3:
+        return None  # kernel assumes HWC RGB; caller's numpy chain is general
     if img.dtype not in (np.uint8, np.float32):
         img = img.astype(np.float32, copy=False)
     img = np.ascontiguousarray(img)
