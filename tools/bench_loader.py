@@ -95,6 +95,54 @@ class TimedOp:
         return out
 
 
+def bench_serving(paths, target_size, interp, device_img_s, batches=12,
+                  batch_size=16):
+    """The SERVING host chain (eval/detector.py _preprocess): JPEG decode ->
+    BGR->RGB -> uint8 cv2.resize to the square eval size.  The detector
+    ships uint8 and normalizes on device, so this IS the whole host side
+    of production inference; prints img/s-per-core and the cores needed to
+    feed one chip at the serving rate (745 img/s @608 bf16, DESIGN.md)."""
+    import cv2
+
+    raw = []
+    for p, _, _ in paths:
+        with open(p, "rb") as f:
+            raw.append(f.read())
+    t_dec = t_res = 0.0
+    n_img = 0
+    warm = 2
+    for b in range(batches + warm):
+        if b == warm:
+            t_dec = t_res = 0.0
+            n_img = 0
+        for i in range(batch_size):
+            buf = raw[(b * batch_size + i) % len(raw)]
+            t0 = time.perf_counter()
+            im = cv2.imdecode(np.frombuffer(buf, np.uint8), 1)
+            im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+            t_dec += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            cv2.resize(im, (target_size, target_size), interpolation=interp)
+            t_res += time.perf_counter() - t0
+            n_img += 1
+    total = t_dec + t_res
+    img_s = n_img / total
+    cores = device_img_s / img_s
+    print(f"\nserving host chain @ {target_size} (decode+BGR2RGB "
+          f"{t_dec / n_img * 1e3:.2f} ms/img, u8 resize "
+          f"{t_res / n_img * 1e3:.2f} ms/img)")
+    print(f"host serving prep: {img_s:.1f} img/s/core; one chip at "
+          f"{device_img_s:.0f} img/s needs ~{cores:.1f} cores "
+          f"({int(np.ceil(cores))} rounded up)")
+    print(json.dumps({
+        "metric": "serving_prep_imgs_per_sec_per_core",
+        "value": round(img_s, 2), "unit": "img/s",
+        "cores_per_chip": round(cores, 2), "device_img_s": device_img_s,
+        "decode_ms": round(t_dec / n_img * 1e3, 2),
+        "resize_ms": round(t_res / n_img * 1e3, 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_images", type=int, default=48)
@@ -105,6 +153,13 @@ def main():
     ap.add_argument("--device_img_s", type=float, default=321.0,
                     help="device step rate to size cores against "
                          "(v5e frozen b16@608 = 321 img/s, DESIGN.md)")
+    ap.add_argument("--serving", action="store_true",
+                    help="measure the SERVING host chain (decode+resize, "
+                         "detector._preprocess semantics) instead of the "
+                         "train transform chain; pair with "
+                         "--device_img_s 745 --target_size 608")
+    ap.add_argument("--target_size", type=int, default=608,
+                    help="--serving eval size (608/416/320)")
     args = ap.parse_args()
 
     from configs import PPYOLO_2x_Config
@@ -124,6 +179,14 @@ def main():
     else:
         tmp = tempfile.mkdtemp(prefix="bench_loader_")
         paths = make_images(tmp, args.n_images, rng)
+
+    if args.serving:
+        cfg = PPYOLO_2x_Config()
+        bench_serving(paths, args.target_size,
+                      int(cfg.resizeImage.get("interp", 2)),
+                      args.device_img_s, args.batches, args.batch_size)
+        return
+
     records = make_records(paths, rng)
 
     cfg = PPYOLO_2x_Config()
