@@ -132,3 +132,20 @@ def test_plot_metrics_cli(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert out.exists() and out.stat().st_size > 10_000
     assert "4 panels" in r.stdout  # loss, lr, throughput, eval mAP (no MFU)
+
+
+def test_bench_loader_serving_cli(tmp_path):
+    """tools/bench_loader.py --serving measures the inference host chain
+    (decode + BGR->RGB + u8 resize) and prints the machine-readable JSON
+    line with decode/resize attribution and cores-per-chip sizing."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_loader.py"),
+         "--serving", "--n_images", "4", "--batches", "2",
+         "--batch_size", "2", "--device_img_s", "745",
+         "--target_size", "320"],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["metric"] == "serving_prep_imgs_per_sec_per_core"
+    assert row["value"] > 0 and row["cores_per_chip"] > 0
+    assert row["decode_ms"] > 0 and row["resize_ms"] > 0
